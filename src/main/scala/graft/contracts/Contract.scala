@@ -1,0 +1,258 @@
+package graft.contracts
+
+import org.apache.spark.sql.Column
+import scala.collection.immutable.ListMap
+
+/** Contract ADT — a first-class, immutable, composable predicate tree.
+  *
+  * Re-expresses the first-order combinator algebra of the reference
+  * (rho-contracts `src/contract.impl.js`): leaf type tests (:281-365),
+  * boolean combinators and/or/optional (:384-482, :276-279), and the shape
+  * algebra array/tuple/hash/object (:518-730). Contracts here are pure
+  * driver-side values; `graft.contracts.Compiler` compiles a contract
+  * against a concrete Spark schema into a single Catalyst `Column`
+  * expression yielding the row's first violation (or NULL), so evaluation
+  * is whole-stage-codegen'd on executors — no per-row interpretation, no
+  * exceptions (violations become data, cf. SURVEY.md §1.2).
+  *
+  * Immutability discipline mirrors the reference's `gentleUpdate`
+  * (`src/utils.js:30-37`): every refinement (`rename`, `optional`,
+  * `strict`, `extend`) returns a new value.
+  */
+sealed trait Contract {
+  /** Canonical rendering, used in `expected` text and `contract_repr`
+    * (reference `toString`, contract.impl.js:181-187). */
+  def render: String
+  def rename(n: String): Contract = Renamed(this, n)
+  def optional: Contract = this match {
+    case o: OptionalC => o
+    case c            => OptionalC(c)
+  }
+}
+
+/** accepts everything — contract.impl.js:281-282 */
+case object AnyC extends Contract { def render = "any" }
+
+/** rejects everything — contract.impl.js:289-292 */
+case object NothingC extends Contract { def render = "nothing" }
+
+/** string type test — contract.impl.js:328-329 */
+case object StringC extends Contract { def render = "string" }
+
+/** number type test — contract.impl.js:331-332 */
+case object NumberC extends Contract { def render = "number" }
+
+/** integer: Math.floor(v) === v — contract.impl.js:334-337 */
+case object IntegerC extends Contract { def render = "integer" }
+
+/** boolean type test — contract.impl.js:339-340 */
+case object BoolC extends Contract { def render = "bool" }
+
+/** Date test — contract.impl.js:345-346; maps to Date/TimestampType */
+case object DateC extends Contract { def render = "date" }
+
+/** JS-falsy — contract.impl.js:298-301 */
+case object FalsyC extends Contract { def render = "falsy" }
+
+/** negation of falsy — contract.impl.js:303-306 */
+case object TruthyC extends Contract { def render = "truthy" }
+
+/** exact value — contract.impl.js:323-326 (null-safe equality) */
+final case class ValueC(v: Any) extends Contract {
+  def render = s"value(${Render.lit(v)})"
+}
+
+/** membership in an enumerated set — contract.impl.js:308-321 */
+final case class OneOfC(vs: Seq[Any]) extends Contract {
+  def render = s"oneOf(${vs.map(Render.lit).mkString(", ")})"
+}
+
+/** string AND regex test — contract.impl.js:412-418. Pattern is a Java
+  * regex, applied unanchored (JS `RegExp.test` ≈ `rlike`). */
+final case class MatchesC(pattern: String) extends Contract {
+  def render = s"matches(/$pattern/)"
+}
+
+/** user predicate over the compiled Column — the `pred(fn)` escape hatch
+  * (contract.impl.js:284-287). `fn` builds a *Catalyst expression* (stays
+  * inside codegen); for opaque closures use [[PredUdfC]]. */
+final case class PredC(name: String, fn: Column => Column) extends Contract {
+  def render = name
+}
+
+/** opaque Scala-closure predicate, compiled to a Scala UDF (blocks
+  * pushdown — last resort, mirrors the reference's arbitrary JS pred). */
+final case class PredUdfC(name: String, fn: Any => Boolean) extends Contract {
+  def render = name
+}
+
+/** all pass, in order, fail on first, `.and(i)` path frame —
+  * contract.impl.js:384-410; silent variant omits frames (:407-409). */
+final case class AndC(branches: Seq[Contract], silent: Boolean = false)
+    extends Contract {
+  def render = s"and(${branches.map(_.render).mkString(", ")})"
+}
+
+/** first-success short-circuit in declaration order; on total failure the
+  * violation aggregates branch expectations — contract.impl.js:420-482 */
+final case class OrC(branches: Seq[Contract]) extends Contract {
+  def render = s"or(${branches.map(_.render).mkString(", ")})"
+}
+
+/** accept null (SQL NULL ⇔ JS null/undefined, utils.js:20-22), else
+  * delegate — contract.impl.js:276-279, :31-32. NOTE: only null — the
+  * falsy values '' and NaN are rejected (contract.spec.js:355-370;
+  * implementation beats the doc at contract.js:233-234). */
+final case class OptionalC(inner: Contract) extends Contract {
+  def render = s"optional(${inner.render})"
+}
+
+/** homogeneous array, every element checked, `[i]` path frame —
+  * contract.impl.js:518-542 */
+final case class ArrayC(item: Contract) extends Contract {
+  def render = s"array(${item.render})"
+}
+
+/** positional tuple: length >= n, per-position checks, extras pass
+  * unless strict — contract.impl.js:544-607 */
+final case class TupleC(items: Seq[Contract], isStrict: Boolean = false)
+    extends Contract {
+  def render = {
+    val base = s"tuple(${items.map(_.render).mkString(", ")})"
+    if (isStrict) s"$base.strict()" else base
+  }
+  def strict: TupleC = copy(isStrict = true)
+}
+
+/** homogeneous map values under arbitrary string keys, `.k` path frame —
+  * contract.impl.js:609-640 */
+final case class HashC(valueC: Contract) extends Contract {
+  def render = s"hash(${valueC.render})"
+}
+
+/** named fields each with its own contract; required unless optional;
+  * extra fields allowed unless strict — contract.impl.js:642-730.
+  * Field order (ListMap) is semantic: first-violation selection follows
+  * declaration order, like JS object insertion order. */
+final case class ObjectC(fields: ListMap[String, Contract],
+                         isStrict: Boolean = false) extends Contract {
+  def render = {
+    val fs = fields.map { case (k, v) => s"$k: ${v.render}" }.mkString(", ")
+    val base = s"object({$fs})"
+    if (isStrict) s"$base.strict()" else base
+  }
+  /** merged field map, persistent update — contract.impl.js:683-689 */
+  def extend(more: (String, Contract)*): ObjectC =
+    copy(fields = fields ++ ListMap(more: _*))
+  /** rejects undeclared fields — contract.impl.js:691-719 */
+  def strict: ObjectC = copy(isStrict = true)
+}
+
+/** display-name override flowing into `expected` text — rename,
+  * contract.impl.js:188-198 */
+final case class Renamed(inner: Contract, name: String) extends Contract {
+  def render = name
+}
+
+/** forward reference enabling self-referential contracts
+  * (cyclic/forwardRef, contract.impl.js:484-511). Recursion is bounded by
+  * the finite input schema depth at compile time — Spark schemas are
+  * non-recursive, so unrolling always terminates. */
+final class ForwardRefC extends Contract {
+  private var ref: Option[Contract] = None
+  def setRef(c: Contract): this.type = { ref = Some(c); this }
+  def resolved: Contract = ref.getOrElse(
+    throw new ContractLibraryError("forwardRef used before setRef"))
+  def render = "forwardRef"
+}
+
+/** misuse of the engine's own builder API — ContractLibraryError,
+  * contract-errors.js:244-254 (the reference's `publish`-style
+  * API-hardening maps to driver-side construction guards, SURVEY.md §2.9) */
+final class ContractLibraryError(msg: String)
+    extends IllegalArgumentException(msg)
+
+/** Deterministic driver-side literal rendering used in contract
+  * renderings (reference `stringify`, utils.js:59-65: util.inspect-like —
+  * single-quoted strings, JS number formatting where 5.0 renders "5"). */
+object Render {
+  def lit(v: Any): String = v match {
+    case null => "null"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case d: Double => num(d)
+    case f: Float => num(f.toDouble)
+    case b: Boolean => b.toString
+    case other => other.toString
+  }
+  def num(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "Infinity"
+    else if (d.isNegInfinity) "-Infinity"
+    else if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+}
+
+/** Builder DSL — the engine's public combinator surface, mirroring the
+  * reference façade `src/contract.js` plus `toContract`-style promotion
+  * (contract.impl.js:227-263). */
+object C {
+  val any: Contract = AnyC
+  val nothing: Contract = NothingC
+  val string: Contract = StringC
+  val number: Contract = NumberC
+  val integer: Contract = IntegerC
+  val bool: Contract = BoolC
+  val date: Contract = DateC
+  val falsy: Contract = FalsyC
+  val truthy: Contract = TruthyC
+  def value(v: Any): Contract = ValueC(v)
+  def oneOf(vs: Any*): Contract = {
+    if (vs.isEmpty) throw new ContractLibraryError("oneOf requires values")
+    OneOfC(vs)
+  }
+  def matches(pattern: String): Contract = MatchesC(pattern)
+  def pred(name: String)(fn: Column => Column): Contract = PredC(name, fn)
+  def and(cs: Contract*): Contract = {
+    if (cs.isEmpty) throw new ContractLibraryError("and requires branches")
+    AndC(cs)
+  }
+  def silentAnd(cs: Contract*): Contract = AndC(cs, silent = true)
+  def or(cs: Contract*): Contract = {
+    if (cs.isEmpty) throw new ContractLibraryError("or requires branches")
+    OrC(cs)
+  }
+  def optional(c: Contract): Contract = c.optional
+  def array(item: Contract): Contract = ArrayC(item)
+  def tuple(items: Contract*): TupleC = TupleC(items)
+  def hash(valueC: Contract): Contract = HashC(valueC)
+  def obj(fields: (String, Contract)*): ObjectC = {
+    val names = fields.map(_._1)
+    if (names.distinct.size != names.size)
+      throw new ContractLibraryError(s"duplicate object fields: $names")
+    ObjectC(ListMap(fields: _*))
+  }
+  def forwardRef(): ForwardRefC = new ForwardRefC
+
+  /** toContract promotion (contract.impl.js:227-263): contract→itself,
+    * one-element Seq→array, scalar→value. Object auto-promotion is
+    * deliberately explicit-only, like the reference (README.md:828-834). */
+  def from(v: Any): Contract = v match {
+    case c: Contract => c
+    case s: Seq[_] =>
+      if (s.size != 1)
+        throw new ContractLibraryError(
+          s"array promotion requires exactly 1 element, got ${s.size}")
+      ArrayC(from(s.head))
+    case m: Map[_, _] =>
+      ObjectC(ListMap(m.toSeq.map { case (k, c) => k.toString -> from(c) }: _*))
+    case scalar => ValueC(scalar)
+  }
+
+  // common refinements
+  def between(lo: Double, hi: Double): Contract =
+    PredC(s"between(${Render.num(lo)}, ${Render.num(hi)})",
+      c => c.isNotNull && c >= lo && c <= hi)
+  def nonEmptyString: Contract =
+    AndC(Seq(StringC, PredC("nonEmpty", c => c.isNotNull &&
+      org.apache.spark.sql.functions.length(c) > 0)), silent = true)
+}

@@ -1,0 +1,106 @@
+package graft.engine
+
+import graft.contracts._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Canonical violation row — errors become *data*, not exceptions
+  * (SURVEY.md §2.6; ContractError fields, contract-errors.js:124-231). */
+case class Violation(doc_id: String, path: String, expected: String,
+                     got: String, contract_repr: String, message: String)
+
+/** Batch validation: the data-plane analog of `contract.check(data, name)`
+  * (contract.impl.js:265-269, 167-175).
+  *
+  * One declarative pass: the compiled first-violation expression is a
+  * single projected column, so Catalyst prunes the scan to exactly the
+  * columns the contract touches, pushes any pre-filters to parquet, and
+  * whole-stage-codegens the check. `violations` and `summary` both derive
+  * from the same plan; at 10¹² rows the per-partition summary is a
+  * map-side partial agg (no extra scan of the violation details).
+  */
+object Validate {
+
+  /** Row-level validation of a DataFrame against an object contract whose
+    * fields bind to top-level columns. `thing` is the check name appearing
+    * in messages (the `name` arg of `check`, contract.impl.js:265). */
+  def firstViolation(df: DataFrame, contract: ObjectC): Column =
+    Compiler.objectViols(contract, df.schema, f => col(f), lit(""))
+
+  /** violations dataset: one row per input row with >= 1 violation,
+    * carrying the first violation in canonical traversal order
+    * ("throws first error" ⇒ first in depth-first declaration order).
+    * Message format mirrors contract-errors.js:154-231 (blame line is
+    * always the check-mode "check on `x` failed:" in the data plane —
+    * contract-errors.js:154-170), flattened to one line for sink hygiene;
+    * the full-value dump is suppressed at scale (SURVEY.md §4.1). */
+  def violations(df: DataFrame, contract: ObjectC, idCol: String,
+                 thing: String = "data"): DataFrame = {
+    val v = firstViolation(df, contract)
+    df.withColumn("_v", v)
+      .where(col("_v").isNotNull)
+      .select(
+        col(idCol).cast("string").as("doc_id"),
+        col("_v.path").as("path"),
+        col("_v.expected").as("expected"),
+        col("_v.got").as("got"),
+        lit(contract.render).as("contract_repr"),
+        message(thing, col("_v.path"), col("_v.expected"), col("_v.got"))
+          .as("message"))
+  }
+
+  /** `check on `x` failed: Expected E, but got G, at position x.P`
+    * (expected-line template contract-errors.js:172-180; position clause
+    * contract-errors.js:224-227). */
+  def message(thing: String, path: Column, expected: Column,
+              got: Column): Column =
+    concat(
+      lit(s"check on `$thing` failed: Expected "), expected,
+      lit(", but got "), got,
+      when(path =!= "", concat(lit(s", at position $thing"), path))
+        .otherwise(lit("")))
+
+  /** per-partition pass/fail summary (BASELINE.json `north_rule`):
+    * partitions are *data* partitions (a caller-supplied partition
+    * column, e.g. an ingest date or bucket id), not task partitions —
+    * stable across reruns and cluster sizes. */
+  def summaryByColumn(df: DataFrame, contract: ObjectC,
+                      partCol: String): DataFrame = {
+    val v = firstViolation(df, contract)
+    df.withColumn("_fail", v.isNotNull)
+      .groupBy(col(partCol).as("partition_key"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("_fail"), 1L).otherwise(0L)).as("n_failed"))
+      .withColumn("pass", col("n_failed") === 0L)
+  }
+
+  /** task-partition summary (spark_partition_id) — used by the resume
+    * manifest where lineage is per input split. */
+  def summaryByTaskPartition(df: DataFrame, contract: ObjectC): DataFrame = {
+    val v = firstViolation(df, contract)
+    df.withColumn("_fail", v.isNotNull)
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("_fail"), 1L).otherwise(0L)).as("n_failed"))
+      .withColumn("pass", col("n_failed") === 0L)
+  }
+
+  /** single-column convenience: validate one column against any contract */
+  def columnViolations(df: DataFrame, colName: String, contract: Contract,
+                       idCol: String, thing: String = "data"): DataFrame = {
+    val dt = df.schema(colName).dataType
+    val v = Compiler.firstViol(contract, dt, col(colName),
+      lit("." + colName))
+    df.withColumn("_v", v)
+      .where(col("_v").isNotNull)
+      .select(
+        col(idCol).cast("string").as("doc_id"),
+        col("_v.path").as("path"),
+        col("_v.expected").as("expected"),
+        col("_v.got").as("got"),
+        lit(contract.render).as("contract_repr"),
+        message(thing, col("_v.path"), col("_v.expected"), col("_v.got"))
+          .as("message"))
+  }
+}
