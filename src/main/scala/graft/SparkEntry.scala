@@ -73,6 +73,22 @@ object SparkEntry {
       Stats.lengthHistogram(t(s, dir, "documents"), "text")
         .orderBy("bucket")),
 
+    // flagship span-document validation (input_hint schema): generated
+    // deterministic table + media catalog, full validation pass
+    // (contract + uniqueness + referential), per-check violation counts.
+    // Not SQL-expressible over the driver tables → rows-only check.
+    "span_validate" -> ((s, dir) => {
+      val docs = gen.SpanGen.docs(s, 20000, 32,
+        defects = gen.SpanGen.Defects(nullKind = true, badKind = true,
+          textOnMedia = true, danglingRef = true, dupDocId = true,
+          negOffset = true, rate = 200, hotKeyEvery = 500))
+      val media = gen.SpanGen.media(s, 10000)
+      SpanDocs.validateAll(docs, media)
+        .groupBy(substring(col("expected"), 1, 40).as("check"))
+        .agg(count(lit(1)).as("n_violations"))
+        .orderBy("check")
+    }),
+
     // classic aggregation sanity (integer-valued sums only)
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")

@@ -261,19 +261,24 @@ object Compiler {
     * contract's type error (contract.impl.js:653-663). */
   private def fieldCheck(fname: String, fc: Contract, dt: DataType,
                          child: Column, childPath: Column): Column =
-    fc match {
-      case OptionalC(inner) =>
+    peelOptional(fc) match {
+      case Some(inner) =>
         when(child.isNotNull, firstViol(inner, dt, child, childPath))
-      case _ =>
+      case None =>
         when(child.isNull, viol(childPath, s"Field `$fname`", lit("null")))
           .otherwise(firstViol(fc, dt, child, childPath))
     }
 
-  private def isOptionalC(c: Contract): Boolean = c match {
-    case _: OptionalC  => true
-    case Renamed(i, _) => isOptionalC(i)
-    case _             => false
+  /** strips one level of optionality, preserving a rename wrapper so a
+    * renamed optional keeps its display name on failure
+    * (`optional(...).rename(...)` composes like gentleUpdate clones). */
+  private def peelOptional(c: Contract): Option[Contract] = c match {
+    case OptionalC(inner) => Some(inner)
+    case Renamed(inner, n) => peelOptional(inner).map(Renamed(_, n))
+    case _ => None
   }
+
+  private def isOptionalC(c: Contract): Boolean = peelOptional(c).isDefined
 
   private def coalesceAll(vs: Seq[Column]): Column = {
     val live = vs // keep order; coalesce = first non-null = first failure

@@ -1,0 +1,86 @@
+package graft.engine
+
+import graft.contracts._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The flagship contract for interleaved text+media span documents
+  * (BASELINE.json `input_hint`) — built purely from the combinator
+  * algebra, exercising object/or/array/optional exactly as a reference
+  * user would compose them (cf. the kidPark fixture style,
+  * contract.spec.js:19-59).
+  *
+  * A span is EITHER a text span (kind='text', text present, media_ref
+  * absent) OR a media span (kind ∈ {image,audio,video}, media_ref
+  * present, text absent) — a disjunctive contract (`or`,
+  * contract.impl.js:420-482). `absent` is `optional(nothing)`: null
+  * passes via the optional gate (contract.impl.js:31-32), anything else
+  * hits `nothing` (contract.impl.js:289-292).
+  *
+  * The span-sequence invariant (offsets strictly increasing; validation
+  * never reorders/mutates spans) rides on a pred over the array column
+  * using `aggregate` — one linear pass per row, codegen'd.
+  */
+object SpanDocs {
+
+  private val absent: Contract = C.optional(C.nothing).rename("absent")
+
+  val textSpan: ObjectC = C.obj(
+    "kind" -> C.value("text"),
+    "text" -> C.string,
+    "media_ref" -> absent,
+    "offset" -> C.and(C.integer, C.pred("offset >= 0")(c => c >= 0)))
+
+  val mediaSpan: ObjectC = C.obj(
+    "kind" -> C.oneOf("image", "audio", "video"),
+    "text" -> absent,
+    "media_ref" -> C.and(C.string, C.matches("^media-[0-9]+$")),
+    "offset" -> C.and(C.integer, C.pred("offset >= 0")(c => c >= 0)))
+
+  /** strictly-increasing offsets across the span sequence: a single
+    * `aggregate` fold carrying (ok, prev_offset). */
+  def monotoneOffsets(spans: Column): Column =
+    aggregate(spans,
+      struct(lit(true).as("ok"), lit(-1).as("prev")),
+      (acc, s) => struct(
+        (acc.getField("ok") &&
+          coalesce(s.getField("offset") > acc.getField("prev"), lit(false)))
+          .as("ok"),
+        coalesce(s.getField("offset"), acc.getField("prev")).as("prev")),
+      acc => acc.getField("ok"))
+
+  // silentAnd: refinement chain without `.and(i)` path frames
+  // (contract.impl.js:407-409) — flagship paths stay `.spans[3].kind`-shaped
+  val contract: ObjectC = C.obj(
+    "doc_id" -> C.silentAnd(C.string, C.matches("^doc-")),
+    "spans" -> C.silentAnd(
+      C.array(C.or(textSpan, mediaSpan)),
+      C.pred("strictly increasing offsets")(monotoneOffsets)))
+
+  /** end-to-end validation of a span table: contract violations +
+    * doc_id uniqueness + media_ref referential check, all in the
+    * canonical Violation shape. The three checks share one scan of
+    * `docs` only for the contract pass; uniqueness aggregates doc_id
+    * only (column-pruned scan) and the referential probe explodes only
+    * media spans (pruned to spans.media_ref). */
+  def validateAll(docs: DataFrame, media: DataFrame,
+                  broadcastCatalog: Boolean = true): DataFrame = {
+    val contractViols =
+      Validate.violations(docs, contract, "doc_id", "docs")
+    val uniqViols =
+      Uniqueness.violations(docs.select("doc_id"), "doc_id", "docs")
+    val refs = docs.select(col("doc_id"),
+        explode(col("spans.media_ref")).as("media_ref"))
+      .where(col("media_ref").isNotNull)
+    val refViols = Referential.violations(refs, "media_ref", media,
+      "media_id", "doc_id", "docs", broadcastCatalog)
+    contractViols.unionByName(uniqViols).unionByName(refViols)
+  }
+
+  /** span-sequence equality checksum (the per-row invariant vs the
+    * reference): to_json of the spans array — compare before/after any
+    * engine pass. */
+  def spanChecksum(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      xxhash64(to_json(col("spans"))).as("span_checksum"))
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.contracts._
+import graft.engine._
+import graft.gen.SpanGen
+import org.apache.spark.sql.functions._
+
+/** End-to-end span-table goldens (FIXTURES.md §1): deterministic
+  * generator, planted defects → exact violation paths, span-sequence
+  * equality invariant, generator partition-invariance. */
+class SpanDocsSpec extends SparkTestBase {
+
+  test("generator is deterministic and partition-invariant") {
+    val a = SpanGen.docs(spark, 200, 4).orderBy("doc_id")
+      .withColumn("j", to_json(col("spans"))).drop("spans").collect()
+    val b = SpanGen.docs(spark, 200, 16).orderBy("doc_id")
+      .withColumn("j", to_json(col("spans"))).drop("spans").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("clean generated docs pass the span contract") {
+    val docs = SpanGen.docs(spark, 500, 4)
+    val v = Validate.violations(docs, SpanDocs.contract, "doc_id", "docs")
+    assert(v.count() == 0)
+  }
+
+  test("null_kind defect → required-field violation at .spans[0].kind") {
+    val docs = SpanGen.docs(spark, 2000, 4,
+      defects = SpanGen.Defects(nullKind = true, rate = 100))
+    val v = Validate.violations(docs, SpanDocs.contract, "doc_id", "docs")
+    val rows = v.collect()
+    assert(rows.nonEmpty)
+    // null kind breaks both or-branches → violation surfaces at the
+    // span element (or aggregates branch failures, impl :455-471)
+    assert(rows.forall(_.getAs[String]("path") == ".spans[0]"))
+  }
+
+  test("bad_kind defect → or-failure at .spans[1]") {
+    val docs = SpanGen.docs(spark, 2000, 4,
+      defects = SpanGen.Defects(badKind = true, rate = 100))
+    val v = Validate.violations(docs, SpanDocs.contract, "doc_id", "docs")
+      .collect()
+    assert(v.nonEmpty)
+    assert(v.forall(_.getAs[String]("path") == ".spans[1]"))
+  }
+
+  test("neg_offset defect → or-failure at .spans[0] (offset pred)") {
+    val docs = SpanGen.docs(spark, 2000, 4,
+      defects = SpanGen.Defects(negOffset = true, rate = 100))
+    val v = Validate.violations(docs, SpanDocs.contract, "doc_id", "docs")
+      .collect()
+    assert(v.nonEmpty)
+    assert(v.forall(_.getAs[String]("path") == ".spans[0]"))
+  }
+
+  test("dangling_ref defect → referential violations, others clean") {
+    val docs = SpanGen.docs(spark, 2000, 4,
+      defects = SpanGen.Defects(danglingRef = true, rate = 100))
+    val media = SpanGen.media(spark, 10000)
+    val all = SpanDocs.validateAll(docs, media)
+    val refViols = all.where(col("contract_repr").startsWith("ref(")).collect()
+    assert(refViols.nonEmpty)
+    assert(refViols.forall(_.getAs[String]("got").startsWith("media-")))
+    // contract pass itself stays clean: dangling refs still match the
+    // media-ref shape
+    assert(all.where(col("contract_repr").startsWith("object(")).count() == 0)
+  }
+
+  test("dup_doc_id defect → uniqueness violations with multiplicity") {
+    val docs = SpanGen.docs(spark, 1000, 4,
+      defects = SpanGen.Defects(dupDocId = true, hotKeyEvery = 100))
+    val dups = Uniqueness.duplicates(docs, "doc_id")
+    val rows = dups.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("doc_id") == "doc-hot")
+    assert(rows(0).getAs[Long]("n_dups") == 10)
+    // salted two-phase agrees with single-phase
+    val salted = Uniqueness.duplicates(docs, "doc_id", saltBuckets = 8)
+      .collect()
+    assert(salted.length == 1 && salted(0).getAs[Long]("n_dups") == 10)
+  }
+
+  test("span-sequence equality invariant: validation mutates nothing") {
+    val docs = SpanGen.docs(spark, 300, 4,
+      defects = SpanGen.Defects(badKind = true, rate = 50)).cache()
+    val before = SpanDocs.spanChecksum(docs).orderBy("doc_id").collect()
+    // run the full validation pass, then re-checksum the same frame
+    SpanDocs.validateAll(docs, SpanGen.media(spark, 1000)).count()
+    val after = SpanDocs.spanChecksum(docs).orderBy("doc_id").collect()
+    assert(before.sameElements(after))
+    docs.unpersist()
+  }
+
+  test("monotone-offset pred fires (silentAnd: no frame)") {
+    // hand-built non-monotone spans
+    val df = fix(
+      """'doc-000000000001' as doc_id,
+        |array(named_struct('kind','text','text','a',
+        |  'media_ref',cast(null as string),'offset',5),
+        |named_struct('kind','image','text',cast(null as string),
+        |  'media_ref','media-1','offset',3)) as spans""".stripMargin)
+    val v = firstViol(df, SpanDocs.contract)
+    assert(v.isDefined)
+    assert(v.get.getAs[String]("path") == ".spans")
+    assert(v.get.getAs[String]("expected") == "strictly increasing offsets")
+  }
+
+  test("per-partition summary counts checked and failed") {
+    val docs = SpanGen.docs(spark, 1000, 4,
+      defects = SpanGen.Defects(badKind = true, rate = 100))
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(8)))
+    val sum = Validate.summaryByColumn(docs, SpanDocs.contract, "bucket")
+    val rows = sum.collect()
+    assert(rows.map(_.getAs[Long]("n_checked")).sum == 1000)
+    val failed = rows.map(_.getAs[Long]("n_failed")).sum
+    val direct = Validate.violations(docs, SpanDocs.contract, "doc_id",
+      "docs").count()
+    assert(failed == direct && failed > 0)
+  }
+}
