@@ -96,7 +96,95 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_orderkey")).as("n_orders"))
-        .orderBy("l_returnflag", "l_linestatus")))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // --- training-data pipeline operators ---
+
+    // exact record dedup (hash-groupBy)
+    "dedup_exact_events" -> ((s, dir) =>
+      pipeline.Dedup.exact(t(s, dir, "events"),
+          Seq("event_type", "props"), "event_id")
+        .orderBy("event_type", "props")),
+
+    // exact n-gram Jaccard near-dup pairs (inverted-index join)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      pipeline.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash+LSH near-dup pairs (candidates + exact verify) — output
+    // equals the exact join when recall = 1; hash-based → rows-only
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      pipeline.Dedup.minhashLshPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (banded Hamming) — hash-based → rows-only
+    "dedup_simhash" -> ((s, dir) =>
+      pipeline.Dedup.simhashPairs(t(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "ann_cosine_topk" -> ((s, dir) =>
+      pipeline.Similarity.cosineTopK(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id", "rank")),
+
+    // LSH-bucketed ANN (scale path; recall measured in tests) → rows-only
+    "ann_lsh_topk" -> ((s, dir) =>
+      pipeline.Similarity.lshTopK(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id", "rank")),
+
+    // language ID (stopword-count heuristic)
+    "text_langid" -> ((s, dir) =>
+      pipeline.TextAnalysis.langId(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id")),
+
+    // quality scoring (counts + rounded ratios)
+    "text_quality" -> ((s, dir) =>
+      pipeline.TextAnalysis.quality(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id")),
+
+    // token counting (whitespace + BPE-ish regex)
+    "text_tokens" -> ((s, dir) =>
+      pipeline.TextAnalysis.tokenCounts(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id")),
+
+    // order-weighted positional fingerprint (integer-exact)
+    "text_fingerprint" -> ((s, dir) =>
+      pipeline.TextAnalysis.fingerprint(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id")),
+
+    // multimodal: payload attach + batched stub decode → rows-only
+    "mm_features" -> ((s, dir) => {
+      val media = gen.SpanGen.media(s, 2000)
+      val feats = pipeline.Multimodal.extractFeatures(
+        pipeline.Multimodal.withPayload(media))
+      feats.toDF()
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"),
+          min(col("width")).as("min_w"), max(col("height")).as("max_h"))
+        .orderBy("mime")
+    }),
+
+    // distribution drift between two event types (KLL sketch + KS/PSI)
+    // → rows-only (sketch-based)
+    "drift_events_value" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      engine.Drift.check(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"), "value")(s)
+        .withColumn("ks", round(col("ks"), 4))
+        .withColumn("psi", round(col("psi"), 4))
+    }))
 
   def oracleSql: Map[String, String] = Map(
 
@@ -175,5 +263,104 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_exact_events" ->
+      """SELECT event_type, props, count(*) AS n_dups,
+        |  min(event_id) AS first_id
+        |FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY event_type, props""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[u.i] || ' ' || ts[u.i+1] || ' ' || ts[u.i+2] AS g
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i) u
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common, sa.n AS sz_a, sb.n AS sz_b,
+        |  common * 1.0 / (sa.n + sb.n - common) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(list_apply(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor,
+        |    list_aggregate(list_apply(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT id, neighbor, cosine, row_number() OVER (
+        |    PARTITION BY id ORDER BY cosine DESC, neighbor ASC) AS rank
+        |  FROM pairs)
+        |SELECT id, rank, neighbor, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+
+    "text_langid" -> {
+      def cnt(l: String): String = {
+        val set = pipeline.TextAnalysis.stopwords.toMap.apply(l)
+          .map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(lower(text), ' '), " +
+          s"t -> t IN ($set)))"
+      }
+      val langs = pipeline.TextAnalysis.stopwords.map(_._1)
+      val counts = langs.map(l => s"  ${cnt(l)} AS n_$l").mkString(",\n")
+      val mx = langs.map(l => s"n_$l").mkString("greatest(", ", ", ")")
+      val caseArm = langs.map(l => s"WHEN n_$l = $mx THEN '$l'")
+        .mkString(" ")
+      s"""WITH c AS (
+         |SELECT doc_id AS id,
+         |$counts
+         |FROM documents)
+         |SELECT id, ${langs.map(l => s"n_$l").mkString(", ")},
+         |  CASE WHEN $mx <= 0 THEN 'und' $caseArm ELSE 'und' END
+         |    AS lang_guess
+         |FROM c ORDER BY id""".stripMargin
+    },
+
+    "text_quality" -> {
+      val set = pipeline.TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id AS id, length(text) AS n_chars,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ($set))) AS n_stopwords,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+         |  FROM documents)
+         |SELECT id, n_chars, n_tokens, n_stopwords, n_punct,
+         |  round(n_stopwords * 1.0 / n_tokens, 4) AS stopword_ratio,
+         |  round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+         |  round(n_chars * 1.0 / greatest(n_tokens, 1), 4)
+         |    AS mean_token_len
+         |FROM q ORDER BY id""".stripMargin
+    },
+
+    "text_tokens" ->
+      """SELECT doc_id AS id,
+        |  len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS bpeish_tokens
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id AS id,
+        |  (SELECT CAST(sum(ascii(substr(text, u.i, 1)) *
+        |      (((u.i - 1) % 97) + 1)) AS BIGINT)
+        |   FROM (SELECT unnest(range(1, length(text) + 1)) AS i) u)
+        |    AS fingerprint
+        |FROM documents ORDER BY id""".stripMargin)
 }

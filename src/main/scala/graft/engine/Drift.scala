@@ -1,0 +1,117 @@
+package graft.engine
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift checks (BASELINE.json `north_rule`): mergeable
+  * quantile sketches per numeric column, compared across datasets (or
+  * partitions) with KS and PSI statistics against thresholds. No
+  * reference analog (SURVEY.md §2.9) — this is the engine's scale-native
+  * extension of `pred` refinements to *distributional* contracts.
+  *
+  * Why a custom Aggregator instead of `percentile_approx`: drift needs a
+  * *persistable, mergeable* sketch (saved with a run manifest as the
+  * baseline, merged across partitions and reruns). KLL
+  * (datasketches-java, public Apache project) gives mergeability +
+  * serialization + provable error; the Aggregator buffer ships the
+  * serialized sketch through Spark's partial/final aggregation, so the
+  * whole pass is one scan, constant memory per partition, no shuffle of
+  * raw values — exactly the two-phase shape a 100 TB column needs.
+  */
+object Drift {
+
+  val K: Int = 200 // KLL accuracy parameter (~1.65% rank error at k=200)
+
+  /** serialization shim: the KLL sketch rides Spark's aggregation buffer
+    * as a live heap object (updates are O(1) amortized, no per-row
+    * ser/deser — `udaf(Aggregator)` wraps as a TypedImperativeAggregate,
+    * which serializes buffers only at the partial/final exchange). */
+  final class KllHolder(@transient var sketch: KllDoublesSketch)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val b = sketch.toByteArray
+      out.writeInt(b.length); out.write(b)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      sketch = KllDoublesSketch.heapify(Memory.wrap(b))
+    }
+  }
+
+  /** Aggregator: Dataset[Double] → serialized KLL sketch bytes. */
+  class KllAgg extends Aggregator[Double, KllHolder, Array[Byte]] {
+    def zero: KllHolder =
+      new KllHolder(KllDoublesSketch.newHeapInstance(K))
+    def reduce(buf: KllHolder, v: Double): KllHolder = {
+      buf.sketch.update(v); buf
+    }
+    def merge(a: KllHolder, b: KllHolder): KllHolder = {
+      a.sketch.merge(b.sketch); a
+    }
+    def finish(buf: KllHolder): Array[Byte] = buf.sketch.toByteArray
+    def bufferEncoder: Encoder[KllHolder] =
+      Encoders.javaSerialization[KllHolder]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** one-scan sketch of a numeric column (nulls skipped). */
+  def sketch(df: DataFrame, colName: String): KllDoublesSketch = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new KllAgg().toColumn
+    val bytes = df.select(col(colName).cast("double")).where(col(colName)
+      .isNotNull).as[Double].select(agg).head()
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+  }
+
+  /** grouped sketches: one per key (e.g. per partition / per day). */
+  def sketchBy(df: DataFrame, colName: String, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new KllAgg())
+    df.where(col(colName).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(agg(col(colName).cast("double")).as("sketch"))
+  }
+
+  case class DriftResult(ks: Double, psi: Double, nA: Long, nB: Long)
+
+  /** Kolmogorov-Smirnov statistic (sup |cdfA - cdfB|) and Population
+    * Stability Index between two sketches, computed driver-side on the
+    * merged quantile grid — O(gridSize), no data access. */
+  def compare(a: KllDoublesSketch, b: KllDoublesSketch,
+              gridSize: Int = 101): DriftResult = {
+    require(!a.isEmpty && !b.isEmpty, "cannot compare empty sketches")
+    val lo = math.min(a.getMinItem, b.getMinItem)
+    val hi = math.max(a.getMaxItem, b.getMaxItem)
+    val grid = (0 until gridSize)
+      .map(i => lo + (hi - lo) * i / (gridSize - 1)).toArray
+    // INCLUSIVE rank = P(X <= x)
+    val ca = grid.map(a.getRank(_))
+    val cb = grid.map(b.getRank(_))
+    val ks = ca.zip(cb).map { case (x, y) => math.abs(x - y) }.max
+    // PSI over the grid buckets (probability mass per bucket, floored to
+    // avoid log(0) blowups)
+    val eps = 1e-6
+    def masses(c: Array[Double]): Array[Double] =
+      (1 until c.length).map(i => math.max(c(i) - c(i - 1), eps)).toArray
+    val ma = masses(ca); val mb = masses(cb)
+    val psi = ma.zip(mb).map { case (p, q) => (p - q) * math.log(p / q) }.sum
+    DriftResult(ks, psi, a.getN, b.getN)
+  }
+
+  /** drift verdict between a column in two datasets (baseline vs
+    * current), as a one-row DataFrame for sink uniformity. */
+  def check(baseline: DataFrame, current: DataFrame, colName: String,
+            ksThreshold: Double = 0.1, psiThreshold: Double = 0.2)
+           (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val r = compare(sketch(baseline, colName), sketch(current, colName))
+    Seq((colName, r.ks, r.psi, r.nA, r.nB,
+      r.ks <= ksThreshold && r.psi <= psiThreshold))
+      .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
+  }
+}

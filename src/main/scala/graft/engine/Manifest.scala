@@ -1,0 +1,65 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-granular run manifest — the checkpoint-resume log of
+  * BASELINE.json `north_rule` ("resumable from checkpoint with
+  * per-partition lineage + metrics"). FIXTURES.md §4.
+  *
+  * An append-only Parquet log (the "manifest Delta" of `north_star`,
+  * emulated over plain Parquet since no Iceberg/Delta jars ship —
+  * SURVEY.md §7.4): one row per completed (snapshot, partition), carrying
+  * metrics and an input fingerprint. Resume = read log, skip partitions
+  * whose (snapshot, partition, fingerprint) already completed.
+  *
+  * Crash-safety contract: a partition's outputs are (over)written BEFORE
+  * its manifest row is appended, and output writes are per-partition
+  * directories — so a kill at any point leaves either (a) no manifest row
+  * → partition redone idempotently, or (b) manifest row present → outputs
+  * complete. Completed partitions are never recomputed (SURVEY.md §5.2
+  * resume test).
+  */
+object Manifest {
+
+  val schemaCols = Seq("snapshot_id", "partition_id", "status", "n_checked",
+    "n_failed", "fingerprint", "seq")
+
+  def path(outDir: String): String = s"$outDir/_manifest"
+
+  def load(spark: SparkSession, outDir: String): DataFrame = {
+    val p = path(outDir)
+    val fs = new java.io.File(p)
+    if (!fs.exists())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "snapshot_id STRING, partition_id INT, status STRING, " +
+          "n_checked BIGINT, n_failed BIGINT, fingerprint BIGINT, " +
+          "seq BIGINT"))
+    else spark.read.parquet(p)
+  }
+
+  /** partitions already completed for this snapshot (latest row wins). */
+  def completed(spark: SparkSession, outDir: String,
+                snapshotId: String): Set[Int] = {
+    load(spark, outDir)
+      .where(col("snapshot_id") === snapshotId &&
+        col("status") === "done")
+      .select("partition_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+  }
+
+  /** append one completed-partition row (atomic enough: parquet append
+    * creates a new file; readers take the union). */
+  def append(spark: SparkSession, outDir: String, snapshotId: String,
+             partitionId: Int, nChecked: Long, nFailed: Long,
+             fingerprint: Long, seq: Long): Unit = {
+    import spark.implicits._
+    Seq((snapshotId, partitionId, "done", nChecked, nFailed, fingerprint,
+      seq))
+      .toDF(schemaCols: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(path(outDir))
+  }
+}

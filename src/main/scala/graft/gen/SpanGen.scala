@@ -53,7 +53,8 @@ object SpanGen {
           .otherwise(format_string("doc-%012d", id))
       else if (defects.dupDocId)
         // pair-duplicates: every planted row collides with its neighbor
-        when(planted(5), format_string("doc-%012d", (id / 2) * 2))
+        // (integer arithmetic: Column./ would widen to double)
+        when(planted(5), format_string("doc-%012d", id - pmod(id, lit(2L))))
           .otherwise(format_string("doc-%012d", id))
       else format_string("doc-%012d", id)
 

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`): brute-force cosine top-k as the exact baseline /
+  * audit path, and random-hyperplane LSH bucketing as the scale path
+  * (candidates from bucket collisions, exact cosine on candidates,
+  * recall measured against the baseline in tests).
+  *
+  * All arithmetic stays in codegen'd HOF expressions (`zip_with` dot
+  * products, `aggregate` folds) — no UDFs, so Catalyst prunes to the
+  * id+vector columns at the scan. The brute path is O(n²) pairs and
+  * exists for correctness; the LSH path joins only within buckets,
+  * turning the cross join into |bucket|²-bounded work.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in element order (deterministic, matches sequential
+    * summation on the oracle side). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** exact cosine top-k per vector (brute force; audit/baseline path).
+    * Deterministic total order: score desc, then neighbor id asc. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int = 3): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val pairs = v.as("a").join(v.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "rank", "neighbor", "cosine")
+  }
+
+  /** deterministic random hyperplanes: nTables × nPlanes × dim weights
+    * in {-1,+1} from a seeded driver-side PRNG, embedded as literals. */
+  private def planes(nTables: Int, nPlanes: Int, dim: Int, seed: Long)
+      : IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(nTables)(IndexedSeq.fill(nPlanes)(
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** sign-bit bucket id of a vector under one table's hyperplanes. */
+  private def bucket(vec: Column, table: IndexedSeq[Array[Double]]): Column =
+    table.zipWithIndex.map { case (w, i) =>
+      val wLit = array(w.map(lit): _*)
+      when(dot(vec, wLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** LSH-bucketed ANN top-k: same output shape as [[cosineTopK]];
+    * recall < 1 (measured in tests), cost bounded by bucket sizes.
+    * `nPlanes` trades bucket granularity vs recall; `nTables` unions
+    * independent bucketings to recover recall.
+    *
+    * Tuning: recall per table for angle θ is (1-θ/π)^nPlanes, so size
+    * nPlanes ≈ log2(n / targetBucketSize) and recover recall with
+    * nTables unions. Defaults favor moderate-similarity neighbors
+    * (cos ≈ 0.5); for true near-duplicates (cos > 0.9) even
+    * nPlanes = 16 keeps recall ≈ 1 with a handful of tables. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
+              dim: Int = 64, nPlanes: Int = 5, nTables: Int = 12,
+              seed: Long = 42): DataFrame = {
+    val ps = planes(nTables, nPlanes, dim, seed)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val bucketed = v.select(col("id"), col("vec"), col("nrm"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"), bucket(col("vec"), ps(t)).as("b"))): _*))
+        .as("tb"))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"), col("y.id").as("neighbor"),
+        col("x.vec").as("va"), col("y.vec").as("vb"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .dropDuplicates("id", "neighbor")
+    val scored = cand.select(col("id"), col("neighbor"),
+      (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "rank", "neighbor", "cosine")
+  }
+}

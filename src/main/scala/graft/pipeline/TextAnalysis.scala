@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-count heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and an order-weighted positional
+  * document fingerprint. All pure SQL expressions (regexp_count,
+  * split, posexplode) — codegen'd, DuckDB-replicable, no UDFs.
+  */
+object TextAnalysis {
+
+  /** language → stopword token set (tiny deterministic heuristic; real
+    * systems swap in fastText — the *plumbing* is the operator).
+    * Token-set membership, not regex: integer-exact and engine-agnostic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that",
+      "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con",
+      "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
+      "im", "ein"),
+    "fr" -> Seq("le", "il", "de", "et", "un", "dans", "est", "pour",
+      "que", "les"))
+
+  /** stopword-token count for one language over a lowered token array. */
+  def stopCount(toks: Column, lang: String): Column = {
+    val set = stopwords.toMap.apply(lang)
+    size(filter(toks, t => t.isInCollection(set)))
+  }
+
+  /** per-language stopword hit counts + argmax guess (deterministic
+    * tie-break: declaration order; all-zero → 'und'). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val withCounts = df.select(
+      (col(idCol).as("id") +:
+        stopwords.map { case (l, _) =>
+          stopCount(toks, l).as(s"n_$l") }): _*)
+    // argmax, first-in-declaration-order wins ties; all-zero → 'und'
+    val mx = greatest(stopwords.map(x => col(s"n_${x._1}")): _*)
+    val best = when(mx <= 0, lit("und")).otherwise(
+      stopwords.map(_._1).foldRight(lit("und")) { case (l, acc) =>
+        when(col(s"n_$l") === mx, lit(l)).otherwise(acc)
+      })
+    withCounts.withColumn("lang_guess", best)
+  }
+
+  /** quality metrics: counts exact, ratios rounded(4) for cross-engine
+    * float stability. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = size(split(t, " "))
+    val nStop = stopCount(split(lower(t), " "), "en")
+    val nPunct = regexp_count(t, lit("[^A-Za-z0-9 ]"))
+    df.select(col(idCol).as("id"),
+      nChars.as("n_chars"), nTokens.as("n_tokens"),
+      nStop.as("n_stopwords"), nPunct.as("n_punct"),
+      round(nStop.cast("double") / nTokens, 4).as("stopword_ratio"),
+      round(nPunct.cast("double") / greatest(nChars, lit(1)), 4)
+        .as("punct_ratio"),
+      round(nChars.cast("double") / greatest(nTokens, lit(1)), 4)
+        .as("mean_token_len"))
+  }
+
+  /** token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-alnum). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("id"),
+      size(split(col(textCol), "\\s+")).as("ws_tokens"),
+      regexp_count(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpeish_tokens"))
+
+  /** order-weighted positional fingerprint: Σᵢ ascii(text[i])·((i mod 97)+1)
+    * — integer-exact (≤ ~7M for 553-char docs: no overflow, no float),
+    * order-sensitive (a rolling-hash-style document signature that any
+    * engine reproduces bit-for-bit). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val chars = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "")).as(Seq("pos", "ch")))
+    chars.groupBy("id")
+      .agg(sum(ascii(col("ch")) * (pmod(col("pos"), lit(97)) + 1))
+        .as("fingerprint"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.engine._
+import graft.gen.SpanGen
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Drift-sketch fidelity (SURVEY.md §5.2 #4) and kill/resume semantics
+  * (§5.2 #5). */
+class EngineSpec extends SparkTestBase {
+
+  test("KLL sketch quantiles track exact percentiles at small scale") {
+    import spark.implicits._
+    val df = spark.range(0, 10000).select((col("id") % 1000)
+      .cast("double").as("v"))
+    val sk = Drift.sketch(df, "v")
+    val exact = df.stat.approxQuantile("v", Array(0.25, 0.5, 0.75), 0.0)
+    val approx = Array(0.25, 0.5, 0.75).map(sk.getQuantile(_))
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 1000 * 0.02, s"exact $e vs sketch $a")
+    }
+    assert(sk.getN == 10000)
+  }
+
+  test("identical distributions: no drift; shifted distributions: drift") {
+    val base = SpanGen.docs(spark, 3000, 4)
+      .select(size(col("spans")).cast("double").as("n_spans"))
+    val same = SpanGen.docs(spark, 3000, 8, seed = 43)
+      .select(size(col("spans")).cast("double").as("n_spans"))
+    val r1 = Drift.compare(Drift.sketch(base, "n_spans"),
+      Drift.sketch(same, "n_spans"))
+    assert(r1.ks < 0.05 && r1.psi < 0.05, s"unexpected drift $r1")
+
+    // drifted text-length regime: compare mean span text length
+    val lenA = SpanGen.docs(spark, 3000, 4)
+      .select(explode(col("spans.text")).as("t")).where(col("t").isNotNull)
+      .select(length(col("t")).cast("double").as("len"))
+    val lenB = SpanGen.docs(spark, 3000, 4, drifted = true)
+      .select(explode(col("spans.text")).as("t")).where(col("t").isNotNull)
+      .select(length(col("t")).cast("double").as("len"))
+    val r2 = Drift.compare(Drift.sketch(lenA, "len"),
+      Drift.sketch(lenB, "len"))
+    assert(r2.ks > 0.1 && r2.psi > 0.2, s"drift not detected $r2")
+  }
+
+  test("grouped sketches merge to the global sketch") {
+    val df = SpanGen.docs(spark, 2000, 4)
+      .select(col("doc_id"), size(col("spans")).cast("double").as("v"),
+        pmod(xxhash64(col("doc_id")), lit(4)).as("g"))
+    val grouped = Drift.sketchBy(df, "v", "g").collect()
+    assert(grouped.length == 4)
+    val merged = org.apache.datasketches.kll.KllDoublesSketch
+      .newHeapInstance(Drift.K)
+    grouped.foreach { r =>
+      merged.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(
+          r.getAs[Array[Byte]]("sketch"))))
+    }
+    assert(merged.getN == 2000)
+    val direct = Drift.sketch(df, "v")
+    assert(math.abs(merged.getQuantile(0.5) - direct.getQuantile(0.5)) < 1.0)
+  }
+
+  test("kill/resume: completed partitions are not recomputed; outputs " +
+       "are byte-identical to an uninterrupted run") {
+    val tmp = Files.createTempDirectory("graft-resume").toString
+    Runner.init(spark, s"$tmp/in", 5000, 8)
+
+    // uninterrupted reference run
+    val (p0, s0) = Runner.run(spark, s"$tmp/in", s"$tmp/out_full")
+    assert(p0 == 8 && s0 == 0)
+
+    // interrupted run: 3 partitions, then "crash", then resume
+    val (p1, s1) = Runner.run(spark, s"$tmp/in", s"$tmp/out_resume", 3)
+    assert(p1 == 3 && s1 == 0)
+    val (p2, s2) = Runner.run(spark, s"$tmp/in", s"$tmp/out_resume")
+    assert(p2 == 5 && s2 == 3, s"resume recomputed: processed=$p2 skipped=$s2")
+
+    // identical final violation sets
+    val a = spark.read.parquet(s"$tmp/out_full/violations")
+      .orderBy("doc_id", "path", "contract_repr", "got")
+      .drop("part").collect()
+    val b = spark.read.parquet(s"$tmp/out_resume/violations")
+      .orderBy("doc_id", "path", "contract_repr", "got")
+      .drop("part").collect()
+    assert(a.length == b.length && a.sameElements(b))
+    assert(a.nonEmpty) // planted defects guarantee violations
+
+    // third invocation: everything skipped
+    val (p3, s3) = Runner.run(spark, s"$tmp/in", s"$tmp/out_resume")
+    assert(p3 == 0 && s3 == 8)
+  }
+}
