@@ -29,34 +29,66 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("first_id"))
       .where(col("n_dups") > 1)
 
-  /** distinct word n-gram set per document (empty when too short). */
-  def tokenNgrams(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** distinct word n-grams from a PRE-SPLIT token-array column.
+    *
+    * Callers must bind the token array to its own column first (see
+    * [[withNgrams]]): HOF lambdas are interpreted with NO common-
+    * subexpression elimination, so inlining `split(text)` here would
+    * re-split the text for every element_at reference (~3n times per
+    * doc — measured 10x slowdown). A multi-referenced non-cheap alias
+    * survives CollapseProject, keeping the split evaluated once. */
+  def tokenNgramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ",
           (1 to n).map(j => element_at(toks, i + j)): _*))))
-  }
+
+  /** projects (idCol as id, grams) with the tokenization bound once. */
+  def withNgrams(df: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), tokenNgramsFromTokens(col("toks"), n).as("grams"))
 
   /** exact n-gram Jaccard similarity join: all pairs with J >= threshold.
-    * Inverted-index self-join on shingles, common counts per pair, then
-    * J = common / (|A| + |B| - common). Deterministic, no hashing. */
+    *
+    * PPJoin-style prefix filtering (Xiao et al., WWW'08 — public
+    * algorithm): under a global gram order (ascending document
+    * frequency, gram as tie-break), two sets with J >= t MUST share a
+    * gram within their first |X| - ceil(t*|X|) + 1 grams. Only those
+    * prefix grams — the RAREST ones — enter the inverted-index
+    * self-join, so the candidate blowup is Σ df(prefix-gram)² instead of
+    * Σ df(gram)² (hot grams like stop-trigrams never join). Candidates
+    * are then verified EXACTLY with array_intersect on the full gram
+    * sets — the output is identical to the naive all-pairs join. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(tokenNgrams(col(textCol), n)).as("g"))
-    val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.g") === col("b.g") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sz.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sz.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+    val docs = withNgrams(df, idCol, textCol, n)
+    val sh = docs.select(col("id"), explode(col("grams")).as("g"))
+    val gramDf = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    // per doc: grams sorted by (df, g), keep the prefix
+    val prefix = sh.join(gramDf, "g")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g"))))
+        .as("ordered"))
+      .select(col("id"), transform(
+        slice(col("ordered"), lit(1),
+          greatest(size(col("ordered")) -
+            ceil(size(col("ordered")) * threshold).cast("int") + 1,
+            lit(1))),
+        e => e.getField("g")).as("pg"))
+      .select(col("id"), explode(col("pg")).as("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // exact verification on full gram sets
+    val g = docs.select(col("id"), col("grams"))
+    cand
+      .join(g.select(col("id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("grams").as("gb")), "id_b")
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("sz_a", size(col("ga")))
+      .withColumn("sz_b", size(col("gb")))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")))
       .where(col("jaccard") >= threshold)
@@ -78,16 +110,27 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val docs = df.select(col(idCol).as("id"),
-        tokenNgrams(col(textCol), n).as("grams"))
-      .where(size(col("grams")) > 0)
-    val sig = docs.withColumn("sig",
-      minhashSignature(col("grams"), numHashes))
-    val banded = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          aggregate(slice(col("sig"), b * r + 1, lit(r)), lit(0L),
-            (acc, v) => xxhash64(acc, v)).as("bh")))).as("bb"))
+    // no size(grams)>0 pre-filter: explode already drops empty-gram docs,
+    // and a pushed-down filter would re-expand the whole gram expression
+    // (incl. the split) below the projection — measured 2x cost
+    val docs = withNgrams(df, idCol, textCol, n)
+    // minhashes via explode + aggregation, NOT array HOFs: HOF lambdas
+    // are interpreted (CodegenFallback, per-element boxing) while
+    // min(xxhash64(g, s)) aggregates are whole-stage-codegen'd. Spark's
+    // map-side partial aggregation collapses each doc's grams to one
+    // 64-column row BEFORE the shuffle, so the exchange carries one row
+    // per doc regardless of document length.
+    val gramRows = docs.select(col("id"), explode(col("grams")).as("g"))
+    val minAggs = (0 until numHashes).map(s =>
+      min(xxhash64(col("g"), lit(s))).as(s"m$s"))
+    val sigs = gramRows.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val h = (0 until r).map(j => col(s"m${b * r + j}"))
+        .foldLeft(lit(0L))((acc, m) => xxhash64(acc, m))
+      struct(lit(b).as("band"), h.as("bh"))
+    }
+    val banded = sigs.select(col("id"),
+        explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

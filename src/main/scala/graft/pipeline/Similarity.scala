@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Σ aᵢ·bᵢ in element order (deterministic, matches sequential
-    * summation on the oracle side). */
+    * summation on the oracle side). Codegen'd custom Expression — the
+    * HOF form (`aggregate(zip_with(...))`) is interpreted per element
+    * and ~10x slower in the ANN inner loop. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -74,21 +75,26 @@ object Similarity {
     val ps = planes(nTables, nPlanes, dim, seed)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
-    val bucketed = v.select(col("id"), col("vec"), col("nrm"),
+    // candidate pairs are deduped NARROW (ids only) before vectors are
+    // re-attached — carrying vectors through the nTables-way bucket join
+    // and deduping wide rows shuffles dim×nTables more bytes
+    val bucketed = v.select(col("id"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"), bucket(col("vec"), ps(t)).as("b"))): _*))
         .as("tb"))
-      .select(col("id"), col("vec"), col("nrm"),
-        col("tb.t").as("t"), col("tb.b").as("b"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("id"), col("y.id").as("neighbor"),
-        col("x.vec").as("va"), col("y.vec").as("vb"),
-        col("x.nrm").as("na"), col("y.nrm").as("nb"))
-      .dropDuplicates("id", "neighbor")
-    val scored = cand.select(col("id"), col("neighbor"),
-      (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .select(col("x.id").as("id"), col("y.id").as("neighbor"))
+      .distinct()
+    val scored = cand
+      .join(v.select(col("id"), col("vec").as("va"), col("nrm").as("na")),
+        "id")
+      .join(v.select(col("id").as("neighbor"), col("vec").as("vb"),
+        col("nrm").as("nb")), "neighbor")
+      .select(col("id"), col("neighbor"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("cosine").desc, col("neighbor").asc)
     scored.withColumn("rank", row_number().over(w))
