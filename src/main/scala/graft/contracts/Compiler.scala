@@ -38,8 +38,15 @@ object Compiler {
     StructField("expected", StringType),
     StructField("got", StringType)))
 
-  val MaxRenderDepth = 5   // utils.js:53-57 default inspection depth
-  val MaxRenderLen = 512   // scale guard: cap rendered-value bytes
+  /** inspection depth/length for rendered values. Mutable module state
+    * mirrors the reference exactly: setErrorMessageInspectionDepth is a
+    * global knob there too (utils.js:53-57; default depth 5). Length cap
+    * is the engine's scale guard (bounded violation-row bytes). */
+  @volatile var MaxRenderDepth = 5
+  @volatile var MaxRenderLen = 512
+  def setErrorMessageInspectionDepth(d: Int): Unit = {
+    require(d >= 0, "depth must be >= 0"); MaxRenderDepth = d
+  }
 
   private val nullViol: Column = lit(null).cast(violType)
 
@@ -324,6 +331,98 @@ object Compiler {
     case DoubleType | FloatType => col.isNull || isnan(col) || col === 0.0
     case t if isNumeric(t) => col.isNull || col === 0
     case _ => col.isNull
+  }
+
+  // ---------------------------------------------------------------------
+  // collect-ALL mode: every violation in depth-first order (array of
+  // viol structs). The reference's check() throws on the FIRST error
+  // (context.fail, contract.impl.js:108-111) — firstViol is the parity
+  // surface; allViols is the engine's batch-reporting extension (a
+  // 10¹²-row job wants the full defect inventory in one pass).
+  // ---------------------------------------------------------------------
+
+  private val emptyViols: Column = array().cast(ArrayType(violType))
+
+  private def asArray(v: Column): Column =
+    when(v.isNotNull, array(v)).otherwise(emptyViols)
+
+  def allViols(c: Contract, dt: DataType, col: Column, path: Column)
+      : Column = c match {
+    case AnyC => emptyViols
+    case OptionalC(inner) =>
+      when(col.isNotNull, allViols(inner, dt, col, path))
+        .otherwise(emptyViols)
+    case Renamed(inner, name) =>
+      // rename rewrites expected on this node's own violations
+      transform(allViols(inner, dt, col, path), v =>
+        struct(v.getField("path").as("path"),
+          when(v.getField("path") === path, lit(name))
+            .otherwise(v.getField("expected")).as("expected"),
+          v.getField("got").as("got")).cast(violType))
+    case f: ForwardRefC => allViols(f.resolved, dt, col, path)
+    case AndC(branches, silent) =>
+      val vs = branches.zipWithIndex.map { case (b, i) =>
+        val p = if (silent || branches.size == 1) path
+                else concat(path, lit(s".and($i)"))
+        allViols(b, dt, col, p)
+      }
+      vs.reduce(concat(_, _))
+    case ArrayC(item) => dt match {
+      case ArrayType(et, _) =>
+        when(col.isNull, array(viol(path, c.render, lit("null"))))
+          .otherwise(flatten(transform(col, (x, i) =>
+            allViols(item, et, x,
+              concat(path, lit("["), i.cast(StringType), lit("]"))))))
+      case _ => asArray(firstViol(c, dt, col, path))
+    }
+    case o: ObjectC => dt match {
+      case st: StructType =>
+        val byName = st.fields.map(f => f.name -> f).toMap
+        val checks = o.fields.toSeq.map { case (fname, fc) =>
+          byName.get(fname) match {
+            case None =>
+              if (peelOptional(fc).isDefined) emptyViols
+              else array(viol(path, s"Field `$fname`", lit("missing")))
+            case Some(sf) =>
+              val child = col.getField(fname)
+              val childPath = concat(path, lit("." + fname))
+              peelOptional(fc) match {
+                case Some(inner) =>
+                  when(child.isNotNull,
+                    allViols(inner, sf.dataType, child, childPath))
+                    .otherwise(emptyViols)
+                case None =>
+                  when(child.isNull,
+                    array(viol(childPath, s"Field `$fname`", lit("null"))))
+                    .otherwise(
+                      allViols(fc, sf.dataType, child, childPath))
+              }
+          }
+        }
+        val strictViols =
+          if (o.isStrict) {
+            val extra = st.fieldNames.filterNot(o.fields.keySet)
+            if (extra.nonEmpty)
+              array(viol(path, "object with no extra fields",
+                lit(extra.mkString("{", ", ", "}"))))
+            else emptyViols
+          } else emptyViols
+        val fieldsAll = (checks :+ strictViols).reduce(concat(_, _))
+        when(col.isNull, array(viol(path, "object", lit("null"))))
+          .otherwise(fieldsAll)
+      case _ => asArray(firstViol(c, dt, col, path))
+    }
+    case HashC(valueC) => dt match {
+      case MapType(_, vt, _) =>
+        when(col.isNull, array(viol(path, c.render, lit("null"))))
+          .otherwise(flatten(transform(map_entries(col), e =>
+            allViols(valueC, vt, e.getField("value"),
+              concat(path, lit("."), e.getField("key")
+                .cast(StringType))))))
+      case _ => asArray(firstViol(c, dt, col, path))
+    }
+    // leaves, or, tuple, preds: single-violation nodes
+    case other => asArray(firstViol(other, dt, col, path))
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,75 @@
+package graft.contracts
+
+import scala.collection.immutable.ListMap
+
+/** Contract registry + documentation layer — the engine analog of the
+  * reference's `documentationTable` / `documentModule` / `documentType`
+  * / `publish` surface (contract.impl.js:770-846): named contracts with
+  * docs and categories, uniqueness-checked registration, a `publish`
+  * that verifies every declared name is actually implemented (missing
+  * implementation ⇒ library error, :830-835), and manifest emission so
+  * every validation run records exactly which contract versions it
+  * enforced (SURVEY.md §3.3: the "catalog" analog).
+  */
+final class ContractRegistry(val module: String) {
+
+  case class Entry(name: String, contract: Contract, doc: String,
+                   category: String)
+
+  private var entries: ListMap[String, Entry] = ListMap.empty
+  private val builtins = Set("any", "nothing", "string", "number",
+    "integer", "bool", "date", "falsy", "truthy")
+
+  /** register a named contract; rejects built-in names and duplicates
+    * (documentType guards, contract.impl.js:809-822). */
+  def register(name: String, contract: Contract, doc: String = "",
+               category: String = ""): this.type = {
+    if (builtins(name))
+      throw new ContractLibraryError(
+        s"cannot shadow built-in contract `$name`")
+    if (entries.contains(name))
+      throw new ContractLibraryError(s"duplicate contract `$name`")
+    entries += name -> Entry(name, contract, doc, category)
+    this
+  }
+
+  def apply(name: String): Contract =
+    entries.getOrElse(name,
+      throw new ContractLibraryError(s"unknown contract `$name`"))
+      .contract
+
+  def names: Seq[String] = entries.keys.toSeq
+
+  /** `publish`: bind declared contracts to an implementation table —
+    * every declared name must be implemented (contract.impl.js:830-835);
+    * members not mentioned stay private (:828-839). Returns the sealed
+    * façade (name → (impl, contract)). */
+  def publish[A](impl: Map[String, A]): Map[String, (A, Contract)] =
+    entries.map { case (name, e) =>
+      impl.get(name) match {
+        case None => throw new ContractLibraryError(
+          s"publish: no implementation for declared contract `$name`")
+        case Some(v) => name -> (v, e.contract)
+      }
+    }
+
+  /** run-manifest metadata: module + per-contract renderings, emitted
+    * alongside validation outputs (JSON object, deterministic order). */
+  def toManifestJson: String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+    val items = entries.values.map { e =>
+      s"${q(e.name)}: {\"repr\": ${q(e.contract.render)}, " +
+        s"\"doc\": ${q(e.doc)}, \"category\": ${q(e.category)}}"
+    }
+    s"{\"module\": ${q(module)}, \"contracts\": {${items.mkString(", ")}}}"
+  }
+
+  /** human-readable docs (the generateHTML analog, kept to Markdown). */
+  def toMarkdown: String = {
+    val rows = entries.values.map(e =>
+      s"| `${e.name}` | ${e.category} | `${e.contract.render}` | ${e.doc} |")
+    (s"# Contracts — $module\n\n| name | category | contract | doc |\n" +
+      "|---|---|---|---|\n" + rows.mkString("\n"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.contracts._
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY.md §5.2 #3), batched: each
+  * property evaluates MANY generated cases in ONE Spark job (a DataFrame
+  * of generated rows), not one job per case — properties stay fast.
+  *
+  *  - conforming values ⇒ zero violations
+  *  - one planted defect at path p ⇒ exactly one first-violation at p
+  *  - optional ≡ null-tolerance
+  *  - and/or verdict composition matches Boolean semantics
+  */
+class PropertySpec extends SparkTestBase {
+
+  import org.apache.spark.sql.functions._
+
+  private def verdicts(rows: Seq[(Int, java.lang.Long)], c: Contract)
+      : Map[Int, Boolean] = {
+    import spark.implicits._
+    val df = rows.toDF("i", "x")
+    val dt = df.schema("x").dataType
+    df.select(col("i"),
+        Compiler.firstViol(C.optional(c), dt, col("x"), lit(".x"))
+          .isNull.as("ok"))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+  }
+
+  test("property: value(v) accepts exactly v (batched over 200 samples)") {
+    val samples = Gen.listOfN(200,
+      Gen.zip(Gen.chooseNum(-1000L, 1000L), Gen.chooseNum(-1000L, 1000L)))
+      .sample.get
+    import spark.implicits._
+    val df = samples.zipWithIndex
+      .map { case ((tgt, v), i) => (i, tgt, v) }.toDF("i", "tgt", "v")
+    val checks = df.collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))
+    }
+    val grouped = checks.groupBy(_._2)
+    grouped.foreach { case (tgt, rows) =>
+      val vs = verdicts(rows.map(r => (r._1, java.lang.Long.valueOf(r._3)))
+        .toSeq, C.value(tgt))
+      rows.foreach { case (i, t, v) =>
+        assert(vs(i) == (v == t), s"value($t) on $v")
+      }
+    }
+  }
+
+  test("property: and/or verdicts compose like Boolean algebra") {
+    import spark.implicits._
+    val gens = Gen.listOfN(300, Gen.chooseNum(-50L, 50L)).sample.get
+    val df = gens.zipWithIndex.map(_.swap).toDF("i", "x")
+    val a = C.pred("a")(c => c > 0)
+    val b = C.pred("b")(c => c % 2 === 0)
+    val cc = C.pred("c")(c => c < 40)
+    val dt = df.schema("x").dataType
+    def ok(c: Contract) = Compiler.firstViol(c, dt, col("x"), lit("")).isNull
+    val rows = df.select(col("x"),
+      ok(C.and(a, b, cc)).as("andv"), ok(C.or(a, b, cc)).as("orv"),
+      ok(a).as("av"), ok(b).as("bv"), ok(cc).as("cv"),
+      ok(C.and(C.or(a, b), cc)).as("mixv")).collect()
+    rows.foreach { r =>
+      val (av, bv, cv) = (r.getAs[Boolean]("av"), r.getAs[Boolean]("bv"),
+        r.getAs[Boolean]("cv"))
+      assert(r.getAs[Boolean]("andv") == (av && bv && cv))
+      assert(r.getAs[Boolean]("orv") == (av || bv || cv))
+      assert(r.getAs[Boolean]("mixv") == ((av || bv) && cv))
+    }
+  }
+
+  test("property: planted defect index ⇒ first violation at that index") {
+    // arrays of 1s with a single 0 planted at a random index
+    import spark.implicits._
+    val cases = Gen.listOfN(100,
+      Gen.zip(Gen.chooseNum(1, 20), Gen.chooseNum(0, 19)))
+      .sample.get
+      .map { case (len, at0) =>
+        val at = at0 % len
+        (at, Seq.tabulate(len)(j => if (j == at) 0 else 1))
+      }
+    val df = cases.zipWithIndex
+      .map { case ((at, xs), i) => (i, at, xs) }.toDF("i", "at", "xs")
+    val dt = df.schema("xs").dataType
+    val out = df.select(col("i"), col("at"),
+        Compiler.firstViol(C.array(C.value(1)), dt, col("xs"), lit(""))
+          .getField("path").as("p"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("p") == s"[${r.getAs[Int]("at")}]")
+    }
+  }
+
+  test("property: optional ≡ null-tolerance for every leaf family") {
+    import spark.implicits._
+    val leaves: Seq[Contract] = Seq(C.string, C.number, C.integer,
+      C.bool, C.value(5), C.oneOf(1, 2, 3), C.matches("x"),
+      C.pred("pos")(c => c > 0))
+    val nullLong: java.lang.Long = null
+    leaves.foreach { leaf =>
+      val vs = verdicts(Seq((0, nullLong)), leaf) // through optional()
+      assert(vs(0), s"optional(${leaf.render}) must accept null")
+    }
+    // required counterpart rejects null (modulo any, falsy)
+    val df = Seq((0, nullLong)).toDF("i", "x")
+    leaves.foreach { leaf =>
+      val v = df.select(Compiler.firstViol(leaf,
+        df.schema("x").dataType, col("x"), lit(".x")).isNull.as("ok"))
+        .head().getBoolean(0)
+      assert(!v, s"${leaf.render} must reject null")
+    }
+  }
+}

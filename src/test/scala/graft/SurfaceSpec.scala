@@ -1,0 +1,162 @@
+package graft
+
+import graft.contracts._
+import graft.engine._
+import graft.streaming.StreamingValidate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Tests for the remaining reference-surface pieces: inference,
+  * registry/publish, collect-all mode, inspection depth, forwardRef,
+  * violation sampling/diff, streaming adapter. */
+class SurfaceSpec extends SparkTestBase {
+
+  // --- fromExample / quacksLike (contract.impl.js:737-768, :367-370) ---
+  test("fromExample infers type contracts; ? marks optional fields") {
+    val c = Infer.fromExample(Map("name" -> "x", "n" -> 5,
+      "?extra" -> true), withQuestionMark = true)
+    val o = c.asInstanceOf[ObjectC]
+    assert(o.fields("name") == StringC)
+    assert(o.fields("n") == NumberC)
+    assert(o.fields("extra") == OptionalC(BoolC))
+    intercept[ContractLibraryError](Infer.fromExample(Seq.empty[Int]))
+  }
+
+  test("quacksLike: structural conformance from example, extras pass") {
+    val c = Infer.quacksLike(Map("x" -> 1)).asInstanceOf[ObjectC]
+    assertPass(fix("5 as x, 'extra' as z"), C.obj("o" -> c).fields("o")
+      match { case oc: ObjectC => C.obj("x" -> oc.fields("x"))
+              case _ => fail() })
+  }
+
+  test("fromSchema: nullable fields optional, nested shapes recurse") {
+    val df = fix("5L as a, named_struct('k', 'v') as s, array(1,2) as xs")
+    val c = Infer.fromSchema(df.schema)
+    assertPass(df, c)
+    // a parquet-sourced schema (all fields nullable) infers all-optional
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val dc = Infer.fromSchema(docs.schema)
+    assert(dc.fields.values.forall(_.isInstanceOf[OptionalC]))
+    assert(firstViol(docs.limit(50), dc).isEmpty ||
+      docs.limit(0).count() == 0)
+  }
+
+  // --- registry / publish (contract.impl.js:770-846) ---
+  test("registry: duplicate and builtin names rejected; publish checks " +
+       "implementations") {
+    val r = new ContractRegistry("graft.test")
+    r.register("spanDoc", SpanDocs.contract, "span document", "core")
+    intercept[ContractLibraryError](r.register("spanDoc", C.any))
+    intercept[ContractLibraryError](r.register("string", C.string))
+    val sealedApi = r.publish(Map("spanDoc" -> "impl"))
+    assert(sealedApi("spanDoc")._1 == "impl")
+    intercept[ContractLibraryError](r.publish(Map("other" -> "x")))
+    assert(r.toManifestJson.contains("\"spanDoc\""))
+    assert(r.toMarkdown.contains("`spanDoc`"))
+  }
+
+  // --- forwardRef (contract.impl.js:484-511) ---
+  test("forwardRef: self-referential contract bounded by schema depth") {
+    val ref = C.forwardRef()
+    val node: Contract = C.obj("v" -> C.number,
+      "next" -> C.optional(ref))
+    ref.setRef(node)
+    val df = fix("named_struct('v', 1, 'next', named_struct('v', 2)) as t")
+    // schema: t.next has only v (no next) — recursion unrolls to depth 2
+    assertPass(df, C.obj("t" -> node))
+    val bad = fix("named_struct('v', 1, 'next', named_struct('v', 's')) as t")
+    assertViol(bad, C.obj("t" -> node), ".t.next.v", "number", "'s'")
+    intercept[ContractLibraryError](C.forwardRef().resolved)
+  }
+
+  // --- collect-all mode ---
+  test("allViolations: every defect reported depth-first with seq") {
+    val c = C.obj("o" -> C.obj("a" -> C.number, "b" -> C.string,
+      "xs" -> C.array(C.value(1))))
+    val df = fix(
+      "named_struct('a', 's', 'b', 5, 'xs', array(1, 2, 3)) as o")
+      .withColumn("id", lit(7))
+    val out = ViolationOps.allViolations(df, C.obj("o" ->
+      c.fields("o")), "id").orderBy("seq").collect()
+    assert(out.map(_.getAs[String]("path")).toSeq ==
+      Seq(".o.a", ".o.b", ".o.xs[1]", ".o.xs[2]"))
+    assert(out.map(_.getAs[Int]("seq")).toSeq == Seq(0, 1, 2, 3))
+  }
+
+  // --- inspection depth (utils.js:53-65) ---
+  test("setErrorMessageInspectionDepth caps rendered nesting") {
+    val deep = fix("named_struct('a', named_struct('b', " +
+      "named_struct('c', 5))) as o")
+    val c = C.obj("o" -> NothingC)
+    val full = firstViol(deep, c).get.getAs[String]("got")
+    assert(full == "{ a: { b: { c: 5 } } }")
+    Compiler.setErrorMessageInspectionDepth(1)
+    try {
+      val capped = firstViol(deep, c).get.getAs[String]("got")
+      assert(capped == "{ a: [Object] }")
+    } finally Compiler.setErrorMessageInspectionDepth(5)
+  }
+
+  // --- sampling + diff ---
+  test("samplePerCheck caps rows per check; diff detects drift") {
+    val docs = gen.SpanGen.docs(spark, 3000, 4,
+      defects = gen.SpanGen.Defects(badKind = true, rate = 50))
+    val v = Validate.violations(docs, SpanDocs.contract, "doc_id", "docs")
+    val sampled = ViolationOps.samplePerCheck(v, 5)
+    assert(sampled.count() <= 5)
+    assert(v.count() > 5)
+    val (missing, unexpected) = ViolationOps.diff(v, v)
+    assert(missing.count() == 0 && unexpected.count() == 0)
+    // dropping rows from the actual set shows up as `missing`
+    val (m2, u2) = ViolationOps.diff(v.limit(3), v)
+    assert(m2.count() > 0 && u2.count() == 0)
+  }
+
+  // --- streaming ---
+  test("streaming: stateless violations over a memory stream") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("doc_id", "lang", "n_chars")
+    val contract = C.obj("doc_id" -> C.integer,
+      "lang" -> C.oneOf("en", "fr"), "n_chars" -> C.between(0, 100))
+    val out = StreamingValidate.violations(df, contract, "doc_id")
+    val q = out.writeStream.format("memory").queryName("sv")
+      .outputMode("append").start()
+    mem.addData((1L, "en", 10L), (2L, "zz", 20L), (3L, "fr", 999L))
+    q.processAllAvailable()
+    mem.addData((4L, "xx", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sv").orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[String]("doc_id")).toSeq == Seq("2", "3", "4"))
+    assert(rows(0).getAs[String]("path") == ".lang")
+    assert(rows(1).getAs[String]("path") == ".n_chars")
+  }
+
+  test("streaming: foreachBatch sink reuses the batch manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-str").toString
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "lang")
+    val contract = C.obj("doc_id" -> C.integer,
+      "lang" -> C.oneOf("en", "fr"))
+    val q = StreamingValidate.foreachBatchSink(df, contract, "doc_id",
+      tmp, "snap1")
+      .option("checkpointLocation", s"$tmp/_ckpt").start()
+    mem.addData((1L, "en"), (2L, "zz"))
+    q.processAllAvailable()
+    mem.addData((3L, "yy"))
+    q.processAllAvailable()
+    q.stop()
+    val man = Manifest.load(spark, tmp)
+    assert(man.count() == 2) // two batches logged
+    val viols = spark.read.parquet(s"$tmp/violations")
+    assert(viols.select("doc_id").as[String].collect().toSet ==
+      Set("2", "3"))
+  }
+}
