@@ -175,6 +175,38 @@ object SparkEntry {
         .orderBy("mime")
     }),
 
+    // window functions: per-user running aggregates over the event
+    // stream (row_number + running sum, integer-exact)
+    "win_events_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              0)).as("clicks_so_far"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // grouping sets: cube over returnflag x linestatus (integer sums)
+    "cube_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // top-k with deterministic tiebreak (sort + limit)
+    "topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2)
+          .as("price"))
+        .limit(100)),
+
     // distribution drift between two event types (KLL sketch + KS/PSI)
     // → rows-only (sketch-based)
     "drift_events_value" -> ((s, dir) => {
@@ -264,6 +296,29 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "win_events_running" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS clicks_so_far
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "cube_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""
+        .stripMargin,
 
     "dedup_exact_events" ->
       """SELECT event_type, props, count(*) AS n_dups,

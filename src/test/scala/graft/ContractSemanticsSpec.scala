@@ -249,6 +249,16 @@ class ContractSemanticsSpec extends SparkTestBase {
       "Field `size`", "null")
   }
 
+  // --- pred with an opaque Scala closure (UDF escape hatch) ---
+  test("predUdf: arbitrary closure predicate (blocks pushdown — escape " +
+       "hatch only)") {
+    val evenLen = PredUdfC("evenLen",
+      v => v != null && v.toString.length % 2 == 0)
+    assertPass(fix("'ab' as x"), C.obj("x" -> evenLen))
+    assertViol(fix("'abc' as x"), C.obj("x" -> evenLen), ".x", "evenLen",
+      "'abc'")
+  }
+
   // --- construction guards (ContractLibraryError, contract-errors.js:244) ---
   test("builder guards reject misuse") {
     intercept[ContractLibraryError](C.and())
