@@ -36,18 +36,37 @@ object Validate {
     * contract-errors.js:154-170), flattened to one line for sink hygiene;
     * the full-value dump is suppressed at scale (SURVEY.md §4.1). */
   def violations(df: DataFrame, contract: ObjectC, idCol: String,
-                 thing: String = "data"): DataFrame = {
+                 thing: String = "data"): DataFrame =
+    violations(df, contract, idCol, thing, withFullValue = false)
+
+  /** `withFullValue = true` adds the reference's "The full value being
+    * checked was: …" payload (contract-errors.js:182-198) as a
+    * `full_value` column — depth-capped rendering of the whole row,
+    * suppressed (null) when it would just repeat `got`
+    * (contract-errors.js:187-193). Off by default at scale: it renders
+    * the complete document per violation. */
+  def violations(df: DataFrame, contract: ObjectC, idCol: String,
+                 thing: String, withFullValue: Boolean): DataFrame = {
     val v = firstViolation(df, contract)
-    df.withColumn("_v", v)
+    val base = df.withColumn("_v", v)
       .where(col("_v").isNotNull)
-      .select(
-        col(idCol).cast("string").as("doc_id"),
-        col("_v.path").as("path"),
-        col("_v.expected").as("expected"),
-        col("_v.got").as("got"),
-        lit(contract.render).as("contract_repr"),
-        message(thing, col("_v.path"), col("_v.expected"), col("_v.got"))
-          .as("message"))
+    val core = Seq(
+      col(idCol).cast("string").as("doc_id"),
+      col("_v.path").as("path"),
+      col("_v.expected").as("expected"),
+      col("_v.got").as("got"),
+      lit(contract.render).as("contract_repr"),
+      message(thing, col("_v.path"), col("_v.expected"), col("_v.got"))
+        .as("message"))
+    if (!withFullValue) base.select(core: _*)
+    else {
+      val rowStruct = struct(df.columns.map(col): _*)
+      val full = Compiler.render(
+        org.apache.spark.sql.types.StructType(df.schema.fields), rowStruct)
+      base.select(core :+
+        when(full === col("_v.got"), lit(null))
+          .otherwise(full).as("full_value"): _*)
+    }
   }
 
   /** `check on `x` failed: Expected E, but got G, at position x.P`

@@ -91,6 +91,24 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: driver-side literal rendering matches compiled " +
+       "per-row rendering (value / got parity)") {
+    import spark.implicits._
+    val doubles = Gen.listOfN(100, Gen.oneOf(
+      Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(-50.0, 50.0),
+      Gen.oneOf(0.0, -0.0, 5.0, 5.5, 1e15, Double.NaN,
+        Double.PositiveInfinity))).sample.get
+    val df = doubles.zipWithIndex.map(_.swap).toDF("i", "x")
+    val rendered = df.select(col("i"),
+        Compiler.render(org.apache.spark.sql.types.DoubleType, col("x"))
+          .as("r")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    doubles.zipWithIndex.foreach { case (d, i) =>
+      assert(rendered(i) == Render.num(d),
+        s"compiled '${rendered(i)}' vs driver '${Render.num(d)}' for $d")
+    }
+  }
+
   test("property: optional ≡ null-tolerance for every leaf family") {
     import spark.implicits._
     val leaves: Seq[Contract] = Seq(C.string, C.number, C.integer,

@@ -98,6 +98,23 @@ class SurfaceSpec extends SparkTestBase {
     } finally Compiler.setErrorMessageInspectionDepth(5)
   }
 
+  // --- full-value payload (contract-errors.js:182-198) ---
+  test("withFullValue renders the whole row, suppressed when redundant") {
+    val c = C.obj("a" -> C.number, "b" -> C.string)
+    val df = fix("5 as a, 7 as b").withColumn("id", lit(1))
+    val out = Validate.violations(df, C.obj("a" -> C.number,
+      "b" -> C.string), "id", "data", withFullValue = true).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("full_value") == "{ a: 5, b: 7, id: 1 }")
+    // redundant: violation at the row level itself → suppressed
+    val df2 = fix("5 as a").withColumn("id", lit(1))
+    val out2 = Validate.violations(df2,
+      C.obj("a" -> NothingC.rename("{ a: 5, id: 1 }")), "id", "data",
+      withFullValue = true).collect()
+    assert(out2.length == 1) // got='5' ≠ full '{...}' → not suppressed here
+    assert(out2(0).getAs[String]("full_value") != null)
+  }
+
   // --- sampling + diff ---
   test("samplePerCheck caps rows per check; diff detects drift") {
     val docs = gen.SpanGen.docs(spark, 3000, 4,
