@@ -57,6 +57,48 @@ object SpanDocs {
       C.array(C.or(textSpan, mediaSpan)),
       C.pred("strictly increasing offsets")(monotoneOffsets)))
 
+  /** first-violation expression using the codegen'd
+    * [[graft.functions.SpanCheck]] fast path for the spans field (hot
+    * loop decides pass/fail; failures delegate to the generic compiler
+    * for bit-identical payloads) — falls back to the fully generic
+    * compile when the physical span shape differs. */
+  def fastFirstViolation(df: DataFrame): Column = {
+    import graft.contracts.Compiler.viol
+    val spanDt = df.schema("spans").dataType
+    if (!graft.functions.SpanCheck.matches(spanDt))
+      Validate.firstViolation(df, contract)
+    else {
+      val docIdViol = {
+        val dt = df.schema("doc_id").dataType
+        when(col("doc_id").isNull,
+          viol(lit(".doc_id"), "Field `doc_id`", lit("null")))
+          .otherwise(graft.contracts.Compiler.firstViol(
+            contract.fields("doc_id"), dt, col("doc_id"), lit(".doc_id")))
+      }
+      val spansViol =
+        when(col("spans").isNull,
+          viol(lit(".spans"), "Field `spans`", lit("null")))
+          .otherwise(graft.functions.SpanCheck.check(df, "spans",
+            contract.fields("spans")))
+      coalesce(docIdViol, spansViol)
+    }
+  }
+
+  /** violations via the fast path, same shape as Validate.violations. */
+  def violationsFast(docs: DataFrame, thing: String = "docs"): DataFrame = {
+    val v = fastFirstViolation(docs)
+    docs.withColumn("_v", v)
+      .where(col("_v").isNotNull)
+      .select(
+        col("doc_id").cast("string").as("doc_id"),
+        col("_v.path").as("path"),
+        col("_v.expected").as("expected"),
+        col("_v.got").as("got"),
+        lit(contract.render).as("contract_repr"),
+        Validate.message(thing, col("_v.path"), col("_v.expected"),
+          col("_v.got")).as("message"))
+  }
+
   /** end-to-end validation of a span table: contract violations +
     * doc_id uniqueness + media_ref referential check, all in the
     * canonical Violation shape. The three checks share one scan of
@@ -65,8 +107,7 @@ object SpanDocs {
     * media spans (pruned to spans.media_ref). */
   def validateAll(docs: DataFrame, media: DataFrame,
                   broadcastCatalog: Boolean = true): DataFrame = {
-    val contractViols =
-      Validate.violations(docs, contract, "doc_id", "docs")
+    val contractViols = violationsFast(docs)
     val uniqViols =
       Uniqueness.violations(docs.select("doc_id"), "doc_id", "docs")
     val refs = docs.select(col("doc_id"),

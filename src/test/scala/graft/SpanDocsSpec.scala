@@ -104,6 +104,32 @@ class SpanDocsSpec extends SparkTestBase {
     assert(v.get.getAs[String]("expected") == "strictly increasing offsets")
   }
 
+  test("SpanCheck fast path ≡ generic compile on defect-planted data") {
+    val docs = SpanGen.docs(spark, 4000, 8,
+      defects = SpanGen.Defects(nullKind = true, badKind = true,
+        textOnMedia = true, negOffset = true, rate = 50))
+    val generic = Validate
+      .violations(docs, SpanDocs.contract, "doc_id", "docs")
+      .orderBy("doc_id").collect()
+    val fast = SpanDocs.violationsFast(docs)
+      .orderBy("doc_id").collect()
+    assert(generic.length == fast.length && generic.length > 0)
+    generic.zip(fast).foreach { case (g, f) =>
+      assert(g == f, s"fast-path divergence:\n  generic=$g\n  fast=$f") }
+    // non-monotone offsets too (hand-built)
+    val nm = fix(
+      """'doc-000000000001' as doc_id,
+        |array(named_struct('kind','text','text','a',
+        |  'media_ref',cast(null as string),'offset',5),
+        |named_struct('kind','image','text',cast(null as string),
+        |  'media_ref','media-1','offset',3)) as spans""".stripMargin)
+    val gv = nm.select(Validate.firstViolation(nm, SpanDocs.contract)
+      .as("v")).collect()(0)
+    val fv = nm.select(SpanDocs.fastFirstViolation(nm).as("v"))
+      .collect()(0)
+    assert(gv == fv)
+  }
+
   test("per-partition summary counts checked and failed") {
     val docs = SpanGen.docs(spark, 1000, 4,
       defects = SpanGen.Defects(badKind = true, rate = 100))
