@@ -153,6 +153,27 @@ class SurfaceSpec extends SparkTestBase {
     assert(rows(1).getAs[String]("path") == ".n_chars")
   }
 
+  test("streaming: watermarked windowed summary aggregates pass/fail") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "lang")
+    val contract = C.obj("doc_id" -> C.integer,
+      "lang" -> C.oneOf("en", "fr"))
+    val out = StreamingValidate.windowedSummary(df, contract, "ts",
+      "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("ws")
+      .outputMode("update").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData((ts(1), 1L, "en"), (ts(2), 2L, "zz"), (ts(12), 3L, "fr"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ws").collect()
+    assert(rows.map(_.getAs[Long]("n_checked")).sum == 3)
+    assert(rows.map(_.getAs[Long]("n_failed")).sum == 1)
+  }
+
   test("streaming: foreachBatch sink reuses the batch manifest") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-str").toString
     val sqlCtx = spark.sqlContext
