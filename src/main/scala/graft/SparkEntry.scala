@@ -132,6 +132,13 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id", "rank")),
 
+    // embedding-cosine near-dup pairs (exact threshold join)
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      pipeline.Similarity.cosinePairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
     // LSH-bucketed ANN (scale path; recall measured in tests) → rows-only
     "ann_lsh_topk" -> ((s, dir) =>
       pipeline.Similarity.lshTopK(t(s, dir, "embeddings"),
@@ -343,6 +350,24 @@ object SparkEntry {
         |FROM pairs
         |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(list_apply(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_aggregate(list_apply(
+        |      list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |    / (a.nrm * b.nrm), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_aggregate(list_apply(
+        |      list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |    / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_cosine_topk" ->

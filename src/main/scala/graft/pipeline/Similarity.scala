@@ -43,6 +43,20 @@ object Similarity {
       .select("id", "rank", "neighbor", "cosine")
   }
 
+  /** embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * cosine >= threshold — the exact audit path for embedding dedup
+    * (LSH-bucket the vectors via [[lshTopK]]'s machinery at scale). */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** deterministic random hyperplanes: nTables × nPlanes × dim weights
     * in {-1,+1} from a seeded driver-side PRNG, embedded as literals. */
   private def planes(nTables: Int, nPlanes: Int, dim: Int, seed: Long)
