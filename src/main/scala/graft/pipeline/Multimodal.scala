@@ -66,4 +66,54 @@ object Multimodal {
         }
       }
   }
+
+  case class ResizedMedia(media_id: String, mime: String, width: Int,
+                          height: Int, payload: Array[Byte])
+
+  /** ======= STUB ======= resize stage: computes the letterboxed target
+    * geometry (real logic) and fakes the pixel resample by truncating /
+    * repeating payload bytes deterministically (a real impl swaps in the
+    * codec). Aspect-ratio math and schema are the production contract. */
+  def resize(features: Dataset[MediaFeature], maxSide: Int = 256)
+      : Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    features.map { f =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(f.width,
+        f.height))
+      val (w, h) = (math.max(1, (f.width * scale).toInt),
+        math.max(1, (f.height * scale).toInt))
+      val targetLen = math.max(4, (f.byte_len * scale * scale).toInt)
+      // STUB resample: deterministic byte pattern of the target size
+      val payload = Array.tabulate(math.min(targetLen, 4096))(i =>
+        ((f.media_id.hashCode + i * 31) & 0xff).toByte)
+      ResizedMedia(f.media_id, f.mime, w, h, payload)
+    }
+  }
+
+  case class Frame(media_id: String, frame_idx: Int, pts_ms: Long,
+                   feature: Array[Float])
+
+  /** ======= STUB ======= frame sampling for video payloads: one row per
+    * sampled frame at `everyMs` spacing over a fake duration derived
+    * from payload length (a real impl demuxes the container). The
+    * one-to-many explode shape, deterministic pts, and per-frame feature
+    * plumbing are the production contract. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000)
+      : Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.select(col("media_id"), col("mime"), col("payload"))
+      .where(col("mime").startsWith("video/"))
+      .as[MediaRow]
+      .flatMap { r =>
+        val durationMs = 500L + (math.abs(
+          java.util.Arrays.hashCode(r.payload)) % 10000)
+        (0L until durationMs by everyMs).zipWithIndex.map {
+          case (pts, idx) =>
+            val h = java.util.Arrays.hashCode(r.payload) ^ pts.toInt
+            Frame(r.media_id, idx, pts, Array.tabulate(4)(i =>
+              math.floorMod(h * (i + 1), 1000) / 1000.0f))
+        }
+      }
+  }
 }

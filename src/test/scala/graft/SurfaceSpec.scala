@@ -174,6 +174,52 @@ class SurfaceSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_failed")).sum == 1)
   }
 
+  test("streaming: stateful dedup via flatMapGroupsWithState emits " +
+       "duplicates across micro-batches") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[String]
+    val df = mem.toDF().toDF("doc_id")
+    val out = graft.streaming.StatefulDedup.duplicates(df)
+    val q = out.writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    mem.addData("a", "b", "a")        // a duplicated within batch 1
+    q.processAllAvailable()
+    mem.addData("b", "c")             // b duplicated across batches
+    q.processAllAvailable()
+    mem.addData("a")                  // a again → third occurrence
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sd").orderBy("doc_id", "n_seen").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 2L), ("a", 3L), ("b", 2L)))
+  }
+
+  test("multimodal: resize keeps aspect ratio; frame sampling explodes " +
+       "videos deterministically") {
+    val media = gen.SpanGen.media(spark, 200)
+    val feats = pipeline.Multimodal.extractFeatures(
+      pipeline.Multimodal.withPayload(media))
+    val resized = pipeline.Multimodal.resize(feats, maxSide = 128).collect()
+    assert(resized.length == 200)
+    assert(resized.forall(r => r.width <= 128 && r.height <= 128 &&
+      r.width >= 1 && r.height >= 1))
+    val frames = pipeline.Multimodal.sampleFrames(
+      pipeline.Multimodal.withPayload(media)).collect()
+    assert(frames.nonEmpty)
+    assert(frames.groupBy(_.media_id).forall { case (_, fs) =>
+      fs.sortBy(_.frame_idx).zipWithIndex.forall { case (f, i) =>
+        f.frame_idx == i && f.pts_ms == i * 1000L } })
+    // deterministic
+    val frames2 = pipeline.Multimodal.sampleFrames(
+      pipeline.Multimodal.withPayload(media)).collect()
+    assert(frames.sortBy(f => (f.media_id, f.frame_idx))
+      .zip(frames2.sortBy(f => (f.media_id, f.frame_idx)))
+      .forall { case (x, y) => x.media_id == y.media_id &&
+        x.pts_ms == y.pts_ms && x.feature.sameElements(y.feature) })
+  }
+
   test("streaming: foreachBatch sink reuses the batch manifest") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-str").toString
     val sqlCtx = spark.sqlContext
