@@ -80,10 +80,25 @@ object Runner {
       scala.util.hashing.MurmurHash3.stringHash(listing).toLong)
   }
 
+  /** the run's contract catalog, written with every run manifest so
+    * outputs record exactly which contracts they enforced (the `publish`
+    * / documentationTable analog, SURVEY.md §3.3). */
+  def registry: graft.contracts.ContractRegistry =
+    new graft.contracts.ContractRegistry("graft.engine")
+      .register("spanDoc", SpanDocs.contract,
+        "interleaved text+media span document", "core")
+      .register("textSpan", SpanDocs.textSpan, "text span branch", "core")
+      .register("mediaSpan", SpanDocs.mediaSpan, "media span branch",
+        "core")
+
   /** returns (processed, skipped) partition counts. */
   def run(spark: SparkSession, inputDir: String, outDir: String,
           maxParts: Int = Int.MaxValue): (Int, Int) = {
     val snap = snapshotId(inputDir)
+    // contract catalog rides with the outputs (idempotent overwrite)
+    val regPath = java.nio.file.Paths.get(outDir, "_registry.json")
+    java.nio.file.Files.createDirectories(regPath.getParent)
+    java.nio.file.Files.writeString(regPath, registry.toManifestJson)
     val docs = spark.read.parquet(s"$inputDir/docs")
     val media = spark.read.parquet(s"$inputDir/media").cache()
     val parts = docs.select("part").distinct().collect()

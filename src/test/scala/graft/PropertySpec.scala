@@ -109,6 +109,35 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: first violation ≡ head of collect-all, across planted " +
+       "defect positions") {
+    import org.apache.spark.sql.functions._
+    val c = C.obj("o" -> C.obj("a" -> C.number, "b" -> C.string,
+      "xs" -> C.array(C.oneOf(1, 2)), "m" -> C.hash(C.string)))
+    val fixtures = Seq(
+      "named_struct('a', 1, 'b', 'x', 'xs', array(1,2), 'm', map('k','v')) as o",
+      "named_struct('a', 's', 'b', 'x', 'xs', array(1,2), 'm', map('k','v')) as o",
+      "named_struct('a', 1, 'b', 9, 'xs', array(1,2), 'm', map('k','v')) as o",
+      "named_struct('a', 1, 'b', 'x', 'xs', array(1,7), 'm', map('k','v')) as o",
+      "named_struct('a', 1, 'b', 'x', 'xs', array(7,9), 'm', map('k','v')) as o",
+      "named_struct('a', 's', 'b', 9, 'xs', array(7), 'm', map('k', 5)) as o")
+    fixtures.foreach { f =>
+      val df = fix(f).withColumn("id", lit(0))
+      val first = firstViol(df, c)
+      val all = graft.engine.ViolationOps.allViolations(df, c, "id")
+        .orderBy("seq").collect()
+      (first, all.headOption) match {
+        case (None, None) => ()
+        case (Some(v), Some(h)) =>
+          assert(v.getAs[String]("path") == h.getAs[String]("path") &&
+            v.getAs[String]("expected") == h.getAs[String]("expected") &&
+            v.getAs[String]("got") == h.getAs[String]("got"),
+            s"first=$v vs all-head=$h for fixture $f")
+        case other => fail(s"pass/fail disagreement $other for $f")
+      }
+    }
+  }
+
   test("property: optional ≡ null-tolerance for every leaf family") {
     import spark.implicits._
     val leaves: Seq[Contract] = Seq(C.string, C.number, C.integer,
