@@ -57,6 +57,45 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** IVF-style ANN: a coarse quantizer (deterministic centroids — the
+    * `nCentroids` lowest-id vectors; production swaps in k-means
+    * iterations, same plumbing) assigns every vector to its best
+    * centroid bucket; queries probe their `nProbe` best buckets and
+    * exact-cosine-rerank only those candidates. Complements the
+    * hyperplane-LSH path: IVF buckets adapt to the data distribution,
+    * LSH needs no training pass. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
+              nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
+    val cents = df.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    // (score, centroid) per centroid, sorted descending by score
+    def scores(vec: Column): Column = reverse(array_sort(
+      array(cents.zipWithIndex.map { case (w, ci) =>
+        struct(dot(vec, array(w.map(lit): _*)).as("s"), lit(ci).as("c"))
+      }: _*)))
+    val indexed = v.withColumn("bucket",
+      element_at(scores(col("vec")), 1).getField("c"))
+    val probes = v.select(col("id"), col("vec"), col("nrm"),
+      explode(transform(slice(scores(col("vec")), 1, nProbe),
+        e => e.getField("c"))).as("bucket"))
+    val cand = probes.as("q").join(
+        indexed.select(col("id").as("neighbor"), col("vec").as("vb"),
+          col("nrm").as("nb"), col("bucket")).as("x"), Seq("bucket"))
+      .where(col("id") =!= col("neighbor"))
+      .select(col("id"), col("neighbor"),
+        (dot(col("vec"), col("vb")) / (col("nrm") * col("nb")))
+          .as("cosine"))
+      .dropDuplicates("id", "neighbor")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "rank", "neighbor", "cosine")
+  }
+
   /** deterministic random hyperplanes: nTables × nPlanes × dim weights
     * in {-1,+1} from a seeded driver-side PRNG, embedded as literals. */
   private def planes(nTables: Int, nPlanes: Int, dim: Int, seed: Long)
