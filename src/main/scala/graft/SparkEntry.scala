@@ -146,6 +146,13 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id", "rank")),
 
+    // IVF-bucketed ANN (coarse quantizer + nprobe rerank) → rows-only
+    "ann_ivf_topk" -> ((s, dir) =>
+      pipeline.Similarity.ivfTopK(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3, nCentroids = 12, nProbe = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id", "rank")),
+
     // language ID (stopword-count heuristic)
     "text_langid" -> ((s, dir) =>
       pipeline.TextAnalysis.langId(t(s, dir, "documents"),
