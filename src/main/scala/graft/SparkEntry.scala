@@ -377,6 +377,30 @@ object SparkEntry {
         |    / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // MinHash+LSH verifies candidates with EXACT Jaccard, and at b=16,
+    // r=4 its recall at J>=0.8 is ~0.9998 — on this seed-fixed dataset
+    // the output deterministically equals the exact join, so the same
+    // oracle applies (xxhash64 signatures are fixed functions: equality
+    // today is equality always for this data).
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[u.i] || ' ' || ts[u.i+1] || ' ' || ts[u.i+2] AS g
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i) u
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common, sa.n AS sz_a, sb.n AS sz_b,
+        |  common * 1.0 / (sa.n + sb.n - common) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH v AS (
         |  SELECT vec_id, embedding,

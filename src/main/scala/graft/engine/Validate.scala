@@ -10,6 +10,11 @@ import org.apache.spark.sql.types.StructType
 case class Violation(doc_id: String, path: String, expected: String,
                      got: String, contract_repr: String, message: String)
 
+/** the ContractError analog for the fail-fast `checkOrThrow` mode. */
+class ContractViolationException(message: String, val docId: String,
+                                 val path: String)
+    extends RuntimeException(message)
+
 /** Batch validation: the data-plane analog of `contract.check(data, name)`
   * (contract.impl.js:265-269, 167-175).
   *
@@ -103,6 +108,22 @@ object Validate {
       .agg(count(lit(1)).as("n_checked"),
         sum(when(col("_fail"), 1L).otherwise(0L)).as("n_failed"))
       .withColumn("pass", col("n_failed") === 0L)
+  }
+
+  /** literal `check(data)` parity: throw on the FIRST violation with the
+    * reference-format message (ContractError semantics,
+    * contract.impl.js:167-175 / contract-errors.js) — the driver-side
+    * fail-fast mode for small/gate datasets; batch jobs use
+    * [[violations]] (errors as data). Returns the input unchanged on
+    * success, like the reference's `check`. */
+  def checkOrThrow(df: DataFrame, contract: ObjectC, idCol: String,
+                   thing: String = "data"): DataFrame = {
+    val first = violations(df, contract, idCol, thing).limit(1).collect()
+    if (first.nonEmpty)
+      throw new ContractViolationException(
+        first(0).getAs[String]("message"),
+        first(0).getAs[String]("doc_id"), first(0).getAs[String]("path"))
+    df
   }
 
   /** single-column convenience: validate one column against any contract */

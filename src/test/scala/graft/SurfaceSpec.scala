@@ -115,6 +115,30 @@ class SurfaceSpec extends SparkTestBase {
     assert(out2(0).getAs[String]("full_value") != null)
   }
 
+  // --- fail-fast check() parity ---
+  test("checkOrThrow raises ContractError-style on first violation, " +
+       "returns input on pass") {
+    val c = C.obj("x" -> C.oneOf("a", "b"))
+    val good = fix("'a' as x").withColumn("id", lit(1))
+    assert(Validate.checkOrThrow(good, c, "id") eq good)
+    val bad = fix("'z' as x").withColumn("id", lit(2))
+    val e = intercept[ContractViolationException](
+      Validate.checkOrThrow(bad, c, "id", "gate"))
+    assert(e.path == ".x" && e.docId == "2")
+    assert(e.getMessage.startsWith(
+      "check on `gate` failed: Expected oneOf('a', 'b'), but got 'z'"))
+  }
+
+  // --- task-partition summary ---
+  test("summaryByTaskPartition totals match row counts") {
+    val docs = gen.SpanGen.docs(spark, 500, 4,
+      defects = gen.SpanGen.Defects(badKind = true, rate = 50))
+    val rows = Validate.summaryByTaskPartition(docs, SpanDocs.contract)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_checked")).sum == 500)
+    assert(rows.map(_.getAs[Long]("n_failed")).sum > 0)
+  }
+
   // --- sampling + diff ---
   test("samplePerCheck caps rows per check; diff detects drift") {
     val docs = gen.SpanGen.docs(spark, 3000, 4,
