@@ -51,7 +51,6 @@ object Bench {
     // 1. flagship span-validation throughput FIRST, in a clean JVM/heap
     // (running the query sweep before it leaves enough old-gen litter
     // to slow the timed runs ~5x and flatten the scaling curve)
-    val media = SpanGen.media(spark, 100000)
     val docsPath = s"$benchDir/docs_$nDocs"
     if (!new java.io.File(docsPath).exists()) {
       SpanGen.docs(spark, nDocs, cpus * 4,
@@ -139,7 +138,7 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
+    val json =
       s"""{"metric":"validated_docs_per_sec","value":${f"$dps32%.0f"},""" +
       s""""unit":"docs/sec","queries":$qs,"sf":"$sfDir",""" +
       s""""queries_total_sec":${f"$total%.3f"},""" +
@@ -152,6 +151,12 @@ object Bench {
       s""""suite_docs_per_sec_8c":${f"$dps8%.0f"},""" +
       s""""suite_docs_per_sec_2c":${f"$dps2%.0f"},""" +
       s""""scaling_efficiency_2c_to_8c":${f"$eff2to8%.3f"},""" +
-      s""""scaling_efficiency_8c_to_32c":${f"$efficiency%.3f"}}}""")
+      s""""scaling_efficiency_8c_to_32c":${f"$efficiency%.3f"}}}"""
+    // stdout for the driver AND a bare file so the JSON survives sbt's
+    // [info]-prefixed log stream (BENCH_r01 recorded parsed:null)
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
   }
 }

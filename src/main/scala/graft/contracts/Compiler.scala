@@ -320,6 +320,14 @@ object Compiler {
     case (t, _: Double) if isNumeric(t) => true
     case (t, _: Float) if isNumeric(t) => true
     case (BooleanType, _: Boolean) => true
+    // temporal literals: the reference's `value` accepts any literal
+    // (contract.impl.js:323-326) — Date/Timestamp columns compare
+    // null-safely against java.sql / java.time literals
+    case (DateType, _: java.sql.Date) => true
+    case (DateType, _: java.time.LocalDate) => true
+    case (TimestampType, _: java.sql.Timestamp) => true
+    case (TimestampType, _: java.time.Instant) => true
+    case (TimestampNTZType, _: java.time.LocalDateTime) => true
     case _ => false
   }
 

@@ -43,8 +43,13 @@ object Uniqueness {
     * reported in the reference's violation shape. */
   def violations(df: DataFrame, keyCol: String, thing: String = "data")
       : DataFrame = {
-    val dups = duplicates(df, keyCol)
-    df.join(dups, Seq(keyCol), "left_semi")
+    // null-safe join: SQL equi-joins never match NULL keys, but a NULL
+    // key occurring twice IS a duplicate — <=> keeps those rows in the
+    // violation output (duplicates() already counts them). The dup-side
+    // key is renamed first: dups derives from df, so an unrenamed
+    // reference would resolve to the same attribute (trivially true).
+    val dups = duplicates(df, keyCol).withColumnRenamed(keyCol, "_dup_key")
+    df.join(dups, col(keyCol) <=> col("_dup_key"), "left_semi")
       .select(
         col(keyCol).cast("string").as("doc_id"),
         lit("." + keyCol).as("path"),

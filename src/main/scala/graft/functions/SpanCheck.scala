@@ -79,7 +79,7 @@ case class SpanCheck(child: Expression, generic: Expression)
           else if (kind.equals(IMAGE) || kind.equals(AUDIO) ||
             kind.equals(VIDEO))
             text == null && ref != null &&
-              mediaRe.matcher(ref.toString).find()
+              mediaRe.matcher(ref.toString).matches()
           else false
         if (!sOk) ok = false
         else {
@@ -130,7 +130,7 @@ case class SpanCheck(child: Expression, generic: Expression)
          |      $kind.equals($audio) ||
          |      $kind.equals($video)) {
          |    $sOk = $txt == null && $ref != null &&
-         |      $pattern.matcher($ref.toString()).find();
+         |      $pattern.matcher($ref.toString()).matches();
          |  } else { $sOk = false; }
          |  if (!$sOk) { $ok = false; break; }
          |  int $off = $s.getInt(3);

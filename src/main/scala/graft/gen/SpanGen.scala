@@ -23,6 +23,8 @@ object SpanGen {
   case class Defects(nullKind: Boolean = false, badKind: Boolean = false,
                      textOnMedia: Boolean = false, danglingRef: Boolean = false,
                      dupDocId: Boolean = false, negOffset: Boolean = false,
+                     /** shape-valid but regex-invalid ref ("xmedia-1x") */
+                     badRef: Boolean = false,
                      /** ~1/rate rows get each planted defect */
                      rate: Int = 1000,
                      /** rows duplicated onto the hot key (skew knob) */
@@ -91,11 +93,19 @@ object SpanGen {
         format_string("media-%d", pmod(h(seed + 4, id, i), lit(nMedia))))
       // dangling refs are shape-valid (`media-N`) but beyond the catalog
       // range, so only the referential check fires — not the shape contract
-      val mediaRef =
+      val refDangling =
         if (defects.danglingRef)
           when(planted(4) && i === 1 && !isText,
             format_string("media-%d", id + lit(nMedia))).otherwise(refClean)
         else refClean
+      // regex-invalid refs embed a valid-looking substring so only an
+      // ANCHORED match rejects them (guards the fast-path regex parity)
+      val mediaRef =
+        if (defects.badRef)
+          when(planted(7) && i === 1 && !isText,
+            format_string("xmedia-%dx", pmod(h(seed + 4, id, i), lit(nMedia))))
+            .otherwise(refDangling)
+        else refDangling
       val offClean = (i * 100 + pmod(h(seed + 5, id, i), lit(100L)))
         .cast("int")
       val offset =

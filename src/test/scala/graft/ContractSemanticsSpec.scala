@@ -44,6 +44,25 @@ class ContractSemanticsSpec extends SparkTestBase {
       "'5'")
   }
 
+  test("value/oneOf: temporal literals compare (not auto-fail)") {
+    // mirrors contract.spec.js:86-93 with Date/Timestamp literals —
+    // `value` accepts any literal (contract.impl.js:323-326)
+    val d = C.obj("x" -> C.value(java.sql.Date.valueOf("2026-01-01")))
+    assertPass(fix("date'2026-01-01' as x"), d)
+    assertViol(fix("date'2026-01-02' as x"), d, ".x",
+      "value(2026-01-01)", "2026-01-02")
+    val ts = C.obj("x" ->
+      C.value(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+    assertPass(fix("timestamp'2026-01-01 10:00:00' as x"), ts)
+    assertViol(fix("timestamp'2026-01-01 10:00:01' as x"), ts, ".x",
+      "value(2026-01-01 10:00:00.0)", "2026-01-01T10:00:01.000Z")
+    val e = C.obj("x" -> C.oneOf(java.sql.Date.valueOf("2026-01-01"),
+      java.sql.Date.valueOf("2026-02-01")))
+    assertPass(fix("date'2026-02-01' as x"), e)
+    assertViol(fix("date'2026-03-01' as x"), e, ".x",
+      "oneOf(2026-01-01, 2026-02-01)", "2026-03-01")
+  }
+
   // --- string (contract.spec.js:95-102) ---
   test("string: passes strings, rejects numbers and null") {
     assertPass(fix("'asd' as x"), C.obj("x" -> C.string))

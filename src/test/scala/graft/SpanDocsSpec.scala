@@ -79,6 +79,17 @@ class SpanDocsSpec extends SparkTestBase {
     assert(salted.length == 1 && salted(0).getAs[Long]("n_dups") == 10)
   }
 
+  test("uniqueness: duplicated NULL keys appear in violation output") {
+    // equi-joins drop NULL keys; the violation join must be null-safe
+    val df = fix("stack(4, cast(null as string), 'a', " +
+      "cast(null as string), 'b', 'k1', 'c', 'k1', 'd') as (k, v)")
+    val dups = Uniqueness.duplicates(df, "k").collect()
+    assert(dups.length == 2) // NULL x2 and k1 x2
+    val viols = Uniqueness.violations(df, "k").collect()
+    assert(viols.length == 4, s"want all 4 duplicated rows, got $viols")
+    assert(viols.count(_.isNullAt(0)) == 2)
+  }
+
   test("span-sequence equality invariant: validation mutates nothing") {
     val docs = SpanGen.docs(spark, 300, 4,
       defects = SpanGen.Defects(badKind = true, rate = 50)).cache()
@@ -107,7 +118,7 @@ class SpanDocsSpec extends SparkTestBase {
   test("SpanCheck fast path ≡ generic compile on defect-planted data") {
     val docs = SpanGen.docs(spark, 4000, 8,
       defects = SpanGen.Defects(nullKind = true, badKind = true,
-        textOnMedia = true, negOffset = true, rate = 50))
+        textOnMedia = true, negOffset = true, badRef = true, rate = 50))
     val generic = Validate
       .violations(docs, SpanDocs.contract, "doc_id", "docs")
       .orderBy("doc_id").collect()
@@ -128,6 +139,21 @@ class SpanDocsSpec extends SparkTestBase {
     val fv = nm.select(SpanDocs.fastFirstViolation(nm).as("v"))
       .collect()(0)
     assert(gv == fv)
+  }
+
+  test("bad_ref defect (xmedia-1x) → shape violation in BOTH paths") {
+    // regex-invalid refs contain a valid-looking substring: an unanchored
+    // find() would wrongly accept them — guard both compile paths
+    val docs = SpanGen.docs(spark, 3000, 4,
+      defects = SpanGen.Defects(badRef = true, rate = 50))
+    val generic = Validate
+      .violations(docs, SpanDocs.contract, "doc_id", "docs")
+      .orderBy("doc_id").collect()
+    val fast = SpanDocs.violationsFast(docs).orderBy("doc_id").collect()
+    assert(generic.nonEmpty, "planted bad refs must violate generically")
+    assert(generic.length == fast.length)
+    generic.zip(fast).foreach { case (g, f) => assert(g == f) }
+    assert(generic.forall(_.getAs[String]("path") == ".spans[1]"))
   }
 
   test("per-partition summary counts checked and failed") {
