@@ -234,11 +234,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
 
+    // message column replicates the REFERENCE ContractError format
+    // (multi-line; captured from executing the reference — see
+    // MessageParitySpec): blame line, expected-line, long innermost
+    // frame, then "at position … in contract: <root toString>" when
+    // outer frames remain. Full-value section off (engine default).
     "v_documents" ->
-      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, path, expected, got,
-        |  'check on `documents` failed: Expected ' || expected ||
-        |  ', but got ' || got || ', at position documents' || path AS message
-        |FROM (
+      """WITH v AS (
         |  SELECT doc_id,
         |    CASE WHEN lang IS NULL THEN '.lang'
         |         WHEN lang NOT IN ('en','es','de','fr') THEN '.lang'
@@ -249,7 +251,7 @@ object SparkEntry {
         |    END AS path,
         |    CASE WHEN lang IS NULL THEN 'Field `lang`'
         |         WHEN lang NOT IN ('en','es','de','fr')
-        |           THEN 'oneOf(''en'', ''es'', ''de'', ''fr'')'
+        |           THEN 'oneOf(en, es, de, fr)'
         |         WHEN n_chars IS NULL THEN 'Field `n_chars`'
         |         WHEN NOT (n_chars >= 1 AND n_chars <= 500)
         |           THEN 'between(1, 500)'
@@ -260,9 +262,31 @@ object SparkEntry {
         |           THEN '''' || lang || ''''
         |         WHEN n_chars IS NULL THEN 'null'
         |         ELSE CAST(n_chars AS VARCHAR)
-        |    END AS got
+        |    END AS got,
+        |    CASE WHEN lang IS NULL OR lang NOT IN ('en','es','de','fr')
+        |           THEN 'for the field `lang` of the object'
+        |         WHEN n_chars IS NULL
+        |           THEN 'for the field `n_chars` of the object'
+        |         WHEN NOT (n_chars >= 1 AND n_chars <= 500)
+        |           THEN 'for the 2nd branch of the `and` contract'
+        |         ELSE 'for the 3rd branch of the `and` contract'
+        |    END AS frame_long,
+        |    CASE WHEN lang IS NULL OR lang NOT IN ('en','es','de','fr')
+        |           OR n_chars IS NULL THEN ''
+        |         ELSE '.n_chars' END AS ppath
         |  FROM documents)
-        |WHERE path IS NOT NULL ORDER BY CAST(doc_id AS VARCHAR)"""
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, path, expected, got,
+        |  'check on `documents` failed:' || chr(10) ||
+        |  'Expected ' || expected || ', but got ' || got || chr(10) ||
+        |  frame_long || chr(10) ||
+        |  CASE WHEN ppath <> '' THEN 'at position ' || ppath || chr(10) ||
+        |    'in contract:' || chr(10) ||
+        |    'c.object({doc_id: c.integer, text: c.and(c.string, ' ||
+        |    'c.nonEmpty), lang: c.oneOf(en, es, de, fr), source: ' ||
+        |    'c.matches(/^src[0-9]+$/), n_chars: c.and(c.integer, ' ||
+        |    'c.between(1, 500), c.n_chars = length(text))})' || chr(10)
+        |  ELSE '' END AS message
+        |FROM v WHERE path IS NOT NULL ORDER BY CAST(doc_id AS VARCHAR)"""
         .stripMargin,
 
     "summary_documents" ->

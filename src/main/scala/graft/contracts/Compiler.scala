@@ -4,9 +4,45 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Path-frame context for one compilation site. Mirrors the reference's
+  * `context.stack` of stackContextItems (contract-errors.js:11-66), but
+  * statically unrolled: at every recursion the compiler knows the full
+  * short-form path so far (`path`), the long English form of the
+  * INNERMOST frame (`frameLong` — "for the 2nd element of the array",
+  * contract-errors.js:41-47), and the short path EXCLUDING the innermost
+  * frame (`ppath` — the "at position" clause renders the stack minus the
+  * long-printed innermost frame, contract-errors.js:200-231). */
+case class Frame(path: Column, frameLong: Column, ppath: Column) {
+  def push(short: Column, long: Column): Frame =
+    Frame(concat(path, short), long, path)
+}
+object Frame {
+  val root: Frame = Frame(lit(""), lit(""), lit(""))
+  /** frame for a named field hanging off `parent` */
+  def field(parent: Frame, fname: String): Frame =
+    parent.push(lit("." + fname),
+      lit(s"for the field `$fname` of the object"))
+}
+
+/** Message environment threaded through compilation: the check-name
+  * (`thingName`, contract-errors.js:154-170), the ROOT contract's
+  * rendering (the `in contract:` clause always shows the root
+  * contract, contract-errors.js:224-228), and — when full-value
+  * reporting is enabled — the depth-capped rendering of the root value
+  * ("The full value being checked was:", contract-errors.js:182-198).
+  * Or-failure aggregation (contract.impl.js:455-471) embeds fully
+  * assembled inner messages, which is why compilation needs all three. */
+case class MsgEnv(thing: String, rootRepr: String,
+                  rootRender: Option[Column])
+object MsgEnv {
+  def apply(thing: String, root: Contract): MsgEnv =
+    MsgEnv(thing, root.render, None)
+}
+
 /** Compiles a [[Contract]] against a concrete Spark schema into a single
-  * Catalyst `Column` yielding the row's FIRST violation — a
-  * `STRUCT<path, expected, got>` — or NULL when the row conforms.
+  * Catalyst `Column` yielding the row's FIRST violation — a struct of
+  * (path, expected, got, kind, frame_long, ppath, ctx) — or NULL when
+  * the row conforms.
   *
   * This replaces the reference's per-value recursive interpretation
   * (`checkWContext`, contract.impl.js:30-63) with a *static* compilation:
@@ -23,20 +59,35 @@ import org.apache.spark.sql.types._
   * `string` on LongType) compiles to an unconditional per-row violation,
   * matching the reference's runtime "Expected string, but got 5".
   *
-  * Scale notes: violation *rendering* (`got` strings, paths) sits inside
-  * `when(fail, …)` branches, so conforming rows — the overwhelming
-  * majority at 10¹²-doc scale — never pay string-building cost (the
-  * reference's silent-frame / lazy-message optimization, SURVEY.md §4.1).
-  * Rendered values are depth- and length-capped (utils.js:53-65 analog).
+  * Message parity: the violation struct carries everything
+  * [[Compiler.assembleMessage]] needs to render the reference's
+  * ContractError text BYTE-IDENTICALLY (verified against messages
+  * captured from executing the reference itself — see
+  * MessageParitySpec): the `kind` field selects the construction path
+  * (`e` = .expected(...).fullContractAndValue(), `t` = .expected() with
+  * NO full-contract clause — the tuple-size error, contract.impl.js:552,
+  * `r`/`x`/`o` = constructor-message errors: required field :656,
+  * strict-extras :702, or-aggregation :455-471).
+  *
+  * Scale notes: violation *rendering* (`got` strings, paths, or-failure
+  * aggregation) sits inside `when(fail, …)` branches, so conforming rows
+  * — the overwhelming majority at 10¹²-doc scale — never pay
+  * string-building cost (the reference's silent-frame / lazy-message
+  * optimization, SURVEY.md §4.1). Rendered values are depth- and
+  * length-capped (utils.js:53-65 analog).
   */
 object Compiler {
 
   /** violation payload produced per node; `contract_repr` and `message`
-    * are attached once at the sink (see [[graft.engine.Validate]]). */
+    * are attached at the sink (see [[graft.engine.Validate]]). */
   val violType: StructType = StructType(Seq(
     StructField("path", StringType),
     StructField("expected", StringType),
-    StructField("got", StringType)))
+    StructField("got", StringType),
+    StructField("kind", StringType),
+    StructField("frame_long", StringType),
+    StructField("ppath", StringType),
+    StructField("ctx", StringType)))
 
   /** inspection depth/length for rendered values. Mutable module state
     * mirrors the reference exactly: setErrorMessageInspectionDepth is a
@@ -50,193 +101,320 @@ object Compiler {
 
   private val nullViol: Column = lit(null).cast(violType)
 
-  def viol(path: Column, expected: String, got: Column): Column =
-    struct(path.as("path"), lit(expected).as("expected"),
-      got.as("got")).cast(violType)
+  def viol(f: Frame, expected: Column, got: Column, kind: String = "e",
+           ctx: Column = lit("")): Column =
+    struct(f.path.as("path"), expected.as("expected"), got.as("got"),
+      lit(kind).as("kind"), f.frameLong.as("frame_long"),
+      f.ppath.as("ppath"), ctx.as("ctx")).cast(violType)
+
+  def viol(f: Frame, expected: String, got: Column): Column =
+    viol(f, lit(expected), got)
+
+  /** ordinal English, 0-based input — utils.js:39-51 verbatim,
+    * including the reference's own quirk that 10 renders "11st" (no
+    * 11/12/13 special case). */
+  def ithS(i: Int): String = {
+    val n = i + 1
+    val suffix = n % 10 match {
+      case 1 => "st"; case 2 => "nd"; case 3 => "rd"; case _ => "th"
+    }
+    s"$n$suffix"
+  }
+
+  /** runtime ordinal for array indices */
+  def ith(i: Column): Column = {
+    val n = i + 1
+    val m = pmod(n, lit(10))
+    concat(n.cast(StringType),
+      when(m === 1, "st").when(m === 2, "nd")
+        .when(m === 3, "rd").otherwise("th"))
+  }
+
+  // ---------------------------------------------------------------------
+  // message assembly — ContractError text, byte-identical to the
+  // reference (contract-errors.js:124-231). Verified against messages
+  // captured from EXECUTING the reference (MessageParitySpec goldens).
+  // ---------------------------------------------------------------------
+
+  /** Assemble the reference-format multi-line message from a violation
+    * struct. Layout (contract-errors.js):
+    *  - blame line: "check on `thing` failed:" (:154-170)
+    *  - kinds e/t: "Expected E, but got G" on its own line (:172-180);
+    *    kinds r/x/o: the constructor message joined by a space (:129-135)
+    *  - long-form innermost frame ("for the 2nd element of the array")
+    *    then "at position <rest>\nin contract:\n<root render>" when
+    *    frames remain (:200-228); kind t skips this — the reference's
+    *    tuple-size error never calls fullContract (contract.impl.js:552)
+    *  - "The full value being checked was:\n<root value>" whenever the
+    *    frame stack is non-empty (:182-198; `!self.expected` is always
+    *    false — `expected` resolves to the prototype method — so only
+    *    the stack condition matters). Omitted when the engine runs with
+    *    full-value rendering off (the at-scale default; parity mode
+    *    enables it). */
+  def assembleMessage(v: Column)(implicit env: MsgEnv): Column = {
+    val blame = s"check on `${env.thing}` failed:"
+    val kind = v.getField("kind")
+    val expectedLine = kind === "e" || kind === "t"
+    val head = when(expectedLine,
+        concat(lit(blame + "\nExpected "), v.getField("expected"),
+          lit(", but got "), v.getField("got"), lit("\n")))
+      .otherwise(concat(lit(blame + " "), v.getField("ctx"), lit("\n")))
+    val fl = v.getField("frame_long")
+    val pp = v.getField("ppath")
+    val frames = when(kind === "t", lit("")).otherwise(concat(
+      when(fl =!= "", concat(fl, lit("\n"))).otherwise(lit("")),
+      when(pp =!= "", concat(lit("at position "), pp,
+        lit("\nin contract:\n" + env.rootRepr + "\n"))).otherwise(lit(""))))
+    val full = env.rootRender match {
+      case Some(rr) =>
+        when(kind =!= "t" && fl =!= "",
+          concat(lit("The full value being checked was:\n"), rr, lit("\n")))
+          .otherwise(lit(""))
+      case None => lit("")
+    }
+    concat(head, frames, full)
+  }
 
   /** first-violation expression for contract `c` over column `col` of
-    * static type `dt`; `path` is the accumulated path-frame string
-    * (short forms concatenated, contract-errors.js:11-66). */
-  def firstViol(c: Contract, dt: DataType, col: Column, path: Column): Column =
+    * static type `dt` at frame `f`. */
+  def firstViol(c: Contract, dt: DataType, col: Column, f: Frame)
+               (implicit env: MsgEnv): Column =
     c match {
       case AnyC => nullViol
 
-      case NothingC => viol(path, "nothing", render(dt, col))
+      case NothingC => viol(f, "nothing", render(dt, col))
 
       case Renamed(inner, name) =>
         // rename affects the display name in messages
-        // (contract.impl.js:188-198): rewrite the `expected` field.
-        val v = firstViol(inner, dt, col, path)
-        when(v.isNotNull,
-          struct(v.getField("path").as("path"),
-            when(v.getField("path") === path, lit(name))
-              .otherwise(v.getField("expected")).as("expected"),
-            v.getField("got").as("got")).cast(violType))
+        // (contract.impl.js:188-198): rewrite the `expected` field on
+        // violations raised BY this node (same path, kind e/t).
+        val v = firstViol(inner, dt, col, f)
+        when(v.isNotNull, renameExpected(v, f, name))
 
-      case f: ForwardRefC => firstViol(f.resolved, dt, col, path)
+      case fr: ForwardRefC => firstViol(fr.resolved, dt, col, f)
 
       case OptionalC(inner) =>
         // null short-circuits the whole check (contract.impl.js:31-32)
-        when(col.isNotNull, firstViol(inner, dt, col, path))
+        when(col.isNotNull, firstViol(inner, dt, col, f))
 
-      case StringC => typeGate(dt == StringType, "string", dt, col, path)
+      case StringC => typeGate(dt == StringType, "string", dt, col, f)
 
-      case NumberC => typeGate(isNumeric(dt), "number", dt, col, path)
+      case NumberC => typeGate(isNumeric(dt), "number", dt, col, f)
 
-      case BoolC => typeGate(dt == BooleanType, "bool", dt, col, path)
+      case BoolC => typeGate(dt == BooleanType, "bool", dt, col, f)
 
+      // reference name is 'Date' (contract.impl.js:346)
       case DateC => typeGate(dt == DateType || dt == TimestampType ||
-        dt == TimestampNTZType, "date", dt, col, path)
+        dt == TimestampNTZType, "Date", dt, col, f)
 
       case IntegerC => dt match {
         // Math.floor(v) === v (contract.impl.js:334-337); NaN explicitly
         // rejected (JS NaN !== NaN; Spark treats NaN = NaN as TRUE).
         case t if isIntegral(t) =>
-          when(col.isNull, viol(path, "integer", lit("null")))
+          when(col.isNull, viol(f, "integer", lit("null")))
         case DoubleType | FloatType =>
           when(col.isNull || isnan(col) || floor(col) =!= col,
-            viol(path, "integer", render(dt, col)))
+            viol(f, "integer", render(dt, col)))
         case _: DecimalType =>
           when(col.isNull || floor(col) =!= col,
-            viol(path, "integer", render(dt, col)))
-        case _ => viol(path, "integer", render(dt, col))
+            viol(f, "integer", render(dt, col)))
+        case _ => viol(f, "integer", render(dt, col))
       }
 
       case ValueC(v) =>
         if (comparable(dt, v))
-          when(!(col <=> lit(v)), viol(path, ValueC(v).render, render(dt, col)))
-        else viol(path, ValueC(v).render, render(dt, col))
+          when(!(col <=> lit(v)), viol(f, c.name, render(dt, col)))
+        else viol(f, c.name, render(dt, col))
 
       case OneOfC(vs) =>
         if (vs.forall(comparable(dt, _)))
           when(col.isNull || !coalesce(col.isin(vs: _*), lit(false)),
-            viol(path, OneOfC(vs).render, render(dt, col)))
-        else viol(path, OneOfC(vs).render, render(dt, col))
+            viol(f, c.name, render(dt, col)))
+        else viol(f, c.name, render(dt, col))
 
       case FalsyC =>
-        when(!isFalsy(dt, col), viol(path, "falsy", render(dt, col)))
+        when(!isFalsy(dt, col), viol(f, "falsy", render(dt, col)))
 
       case TruthyC =>
-        when(isFalsy(dt, col), viol(path, "truthy", render(dt, col)))
+        when(isFalsy(dt, col), viol(f, "truthy", render(dt, col)))
 
       case MatchesC(re) => dt match {
         // string gate first; null fails — no coercion
         // (contract.spec.js:178-180)
         case StringType =>
           when(col.isNull || !coalesce(col.rlike(re), lit(false)),
-            viol(path, MatchesC(re).render, render(dt, col)))
-        case _ => viol(path, MatchesC(re).render, render(dt, col))
+            viol(f, c.name, render(dt, col)))
+        case _ => viol(f, c.name, render(dt, col))
       }
 
       case PredC(_, fn) =>
         when(!coalesce(fn(col), lit(false)),
-          viol(path, c.render, render(dt, col)))
+          viol(f, c.name, render(dt, col)))
 
       case PredUdfC(_, fn) =>
         val u = udf((v: Any) => fn(v))
         when(!coalesce(u(col), lit(false)),
-          viol(path, c.render, render(dt, col)))
+          viol(f, c.name, render(dt, col)))
 
       case AndC(branches, silent) =>
         // in order, fail on first (contract.impl.js:384-410); non-silent
-        // branches push `.and(i)` path frames
+        // branches push `.and(i)` frames — even a single branch
+        // (checkMany, contract.impl.js:377-382)
         val vs = branches.zipWithIndex.map { case (b, i) =>
-          val p = if (silent || branches.size == 1) path
-                  else concat(path, lit(s".and($i)"))
-          firstViol(b, dt, col, p)
+          val bf = if (silent) f else f.push(lit(s".and($i)"),
+            lit(s"for the ${ithS(i)} branch of the `and` contract"))
+          firstViol(b, dt, col, bf)
         }
         coalesceAll(vs)
 
       case o @ OrC(branches) =>
-        // first-success short-circuit in declaration order
-        // (contract.impl.js:420-482); on total failure the expectation
-        // aggregates every branch (:455-471)
-        val vs = branches.map(b => firstViol(b, dt, col, path))
-        when(vs.map(_.isNotNull).reduce(_ && _),
-          viol(path, o.render, render(dt, col)))
+        // first-success short-circuit in declaration order; or-branches
+        // check silently (no frame); on total failure the message
+        // aggregates EVERY failure of every branch — the reference's
+        // collecting context.fail (contract.impl.js:440-471)
+        val vs = branches.map(b => firstViol(b, dt, col, f))
+        val allFail = vs.map(_.isNotNull).reduce(_ && _)
+        // ctx (heavy: per-branch collect-all + full message assembly)
+        // sits under when(allFail, …) — conforming rows never evaluate it
+        when(allFail,
+          viol(f, lit("none of the contracts passed"), render(dt, col),
+            "o", orCtx(o, dt, col, f)))
 
       case a @ ArrayC(item) => dt match {
         case ArrayType(et, _) =>
-          // every element checked, `[i]` path frame (arrayItem,
+          // every element checked, `[i]` frame (arrayItem,
           // contract-errors.js:41-47); first failing element wins
           val elems = transform(col, (x, i) =>
-            firstViol(item, et, x,
-              concat(path, lit("["), i.cast(StringType), lit("]"))))
-          when(col.isNull, viol(path, a.render, lit("null")))
+            firstViol(item, et, x, f.push(
+              concat(lit("["), i.cast(StringType), lit("]")),
+              concat(lit("for the "), ith(i),
+                lit(" element of the array")))))
+          when(col.isNull, viol(f, a.name, lit("null")))
             .otherwise(get(array_compact(elems), lit(0)))
-        case _ => viol(path, a.render, render(dt, col))
+        case _ => viol(f, a.name, render(dt, col))
       }
 
       case t @ TupleC(items, strict) => dt match {
         case ArrayType(et, _) =>
           val n = items.size
           val posViols = items.zipWithIndex.map { case (ic, i) =>
-            firstViol(ic, et, element_at(col, i + 1),
-              concat(path, lit(s"[$i]")))
+            firstViol(ic, et, element_at(col, i + 1), tupleFrame(f, i))
           }
+          // size error: .expected() only, NO fullContractAndValue
+          // (contract.impl.js:550-556) → kind 't'
           val sizeViol = when(size(col) < n,
-            viol(path, s"tuple of size $n", render(dt, col)))
+            viol(f, lit(s"tuple of size $n"), render(dt, col), "t"))
           val strictViol =
             if (strict) when(size(col) > n,
-              viol(path, s"tuple of exactly size $n", render(dt, col)))
+              viol(f, lit(s"tuple of exactly size $n"), render(dt, col)))
             else nullViol
-          when(col.isNull, viol(path, t.render, lit("null")))
+          when(col.isNull, viol(f, t.name, lit("null")))
             .otherwise(coalesceAll(sizeViol +: posViols :+ strictViol))
         case StructType(sfs) =>
           // heterogeneous tuples land on structs
           val n = items.size
-          if (sfs.length < n) viol(path, s"tuple of size $n", render(dt, col))
+          if (sfs.length < n)
+            viol(f, lit(s"tuple of size $n"), render(dt, col), "t")
           else {
             val posViols = items.zipWithIndex.map { case (ic, i) =>
               firstViol(ic, sfs(i).dataType, col.getField(sfs(i).name),
-                concat(path, lit(s"[$i]")))
+                tupleFrame(f, i))
             }
             val strictViol =
               if (strict && sfs.length > n)
-                viol(path, s"tuple of exactly size $n", render(dt, col))
+                viol(f, lit(s"tuple of exactly size $n"), render(dt, col))
               else nullViol
-            when(col.isNull, viol(path, t.render, lit("null")))
+            when(col.isNull, viol(f, t.name, lit("null")))
               .otherwise(coalesceAll(posViols :+ strictViol))
           }
-        case _ => viol(path, t.render, render(dt, col))
+        case _ => viol(f, t.name, render(dt, col))
       }
 
       case h @ HashC(valueC) => dt match {
         case MapType(_, vt, _) =>
-          // every value checked, `.k` path frame (hashItem,
+          // every value checked, `.k` frame (hashItem,
           // contract.impl.js:609-640)
           val entryViols = transform(map_entries(col), e =>
-            firstViol(valueC, vt, e.getField("value"),
-              concat(path, lit("."), e.getField("key").cast(StringType))))
-          when(col.isNull, viol(path, h.render, lit("null")))
+            firstViol(valueC, vt, e.getField("value"), hashFrame(f, e)))
+          when(col.isNull, viol(f, h.name, lit("null")))
             .otherwise(get(array_compact(entryViols), lit(0)))
-        case _ => viol(path, h.render, render(dt, col))
+        case _ => viol(f, h.name, render(dt, col))
       }
 
       case o: ObjectC => dt match {
         case st: StructType =>
-          when(col.isNull, viol(path, "object", lit("null")))
-            .otherwise(objectViols(o, st, f => col.getField(f), path))
+          when(col.isNull, viol(f, "object", lit("null")))
+            .otherwise(
+              objectViols(o, st, fn => col.getField(fn), f, render(dt, col)))
         case MapType(StringType, vt, _) =>
           // dynamic rows: declared fields looked up by key
           val checks = o.fields.toSeq.map { case (fname, fc) =>
-            val child = element_at(col, fname)
-            val childPath = concat(path, lit("." + fname))
-            fieldCheck(fname, fc, vt, child, childPath)
+            fieldCheck(fname, fc, vt, element_at(col, fname),
+              Frame.field(f, fname), f, render(dt, col))
           }
-          when(col.isNull, viol(path, "object", lit("null")))
+          when(col.isNull, viol(f, "object", lit("null")))
             .otherwise(coalesceAll(checks))
-        case _ => viol(path, "object", render(dt, col))
+        case _ => viol(f, "object", render(dt, col))
       }
     }
+
+  private def tupleFrame(f: Frame, i: Int): Frame =
+    f.push(lit(s"[$i]"),
+      lit(s"for the ${ithS(i)} element of the tuple"))
+
+  private def hashFrame(f: Frame, entry: Column): Frame =
+    f.push(concat(lit("."), entry.getField("key").cast(StringType)),
+      concat(lit("for the key `"), entry.getField("key").cast(StringType),
+        lit("` of the hash")))
+
+  /** rename rewrites `expected` on violations raised by this node
+    * itself (same path, expected-template kinds). */
+  private def renameExpected(v: Column, f: Frame, name: String): Column =
+    struct(v.getField("path").as("path"),
+      when(v.getField("path") === f.path &&
+          (v.getField("kind") === "e" || v.getField("kind") === "t"),
+        lit(name)).otherwise(v.getField("expected")).as("expected"),
+      v.getField("got").as("got"), v.getField("kind").as("kind"),
+      v.getField("frame_long").as("frame_long"),
+      v.getField("ppath").as("ppath"),
+      v.getField("ctx").as("ctx")).cast(violType)
+
+  /** or-failure message body (contract.impl.js:455-471):
+    * "none of the contracts passed:" + branch renders, then
+    * "The failures were:" with one numbered entry per COLLECTED failure
+    * — the reference's overridden context.fail collects every failure
+    * in a branch's subtree (collect-all), so entries can outnumber
+    * branches. Each entry embeds the branch's toString and the inner
+    * error's fully assembled message. */
+  private def orCtx(o: OrC, dt: DataType, col: Column, f: Frame)
+                   (implicit env: MsgEnv): Column = {
+    val taggedType = StructType(Seq(
+      StructField("r", StringType), StructField("v", violType)))
+    val tagged = o.branches.map { b =>
+      transform(allViols(b, dt, col, f), v =>
+        struct(lit(b.render).as("r"), v.as("v")).cast(taggedType))
+    }
+    val combined = tagged.reduce(concat(_, _))
+    val entries = transform(combined, (x, i) =>
+      concat(lit("["), (i + 1).cast(StringType), lit("] --\n"),
+        x.getField("r"), lit(": "), assembleMessage(x.getField("v"))))
+    concat(
+      lit("none of the contracts passed:\n" +
+        o.branches.map(b => s" - ${b.render}").mkString("\n") +
+        "\n\nThe failures were:\n"),
+      array_join(entries, "\n\n"), lit("\n"))
+  }
 
   /** declared-field checks of an object contract over a struct, in
     * declaration order (JS insertion order ⇒ ListMap) — the core of
     * contract.impl.js:642-730. Factored so the row-level validator can
-    * bind fields to real top-level columns (no struct() wrapper). */
+    * bind fields to real top-level columns (no struct() wrapper).
+    * `selfRender` renders the object value itself (required-field and
+    * strict-extras messages embed it, contract.impl.js:656, :702). */
   def objectViols(o: ObjectC, st: StructType, fieldCol: String => Column,
-                  path: Column): Column = {
-    val byName = st.fields.map(f => f.name -> f).toMap
+                  f: Frame, selfRender: Column)
+                 (implicit env: MsgEnv): Column = {
+    val byName = st.fields.map(x => x.name -> x).toMap
     val checks = o.fields.toSeq.map { case (fname, fc) =>
       byName.get(fname) match {
         case None =>
@@ -244,10 +422,11 @@ object Compiler {
           // missing non-optional field: ``Field `x` required``
           // (contract.impl.js:653-660) — here the *schema* lacks it, so
           // every row violates
-          else viol(path, s"Field `$fname`", lit("missing"))
+          else requiredViol(fname, Frame.field(f, fname), f, selfRender,
+            lit("missing"))
         case Some(sf) =>
           fieldCheck(fname, fc, sf.dataType, fieldCol(fname),
-            concat(path, lit("." + fname)))
+            Frame.field(f, fname), f, selfRender)
       }
     }
     val strictViol =
@@ -255,25 +434,48 @@ object Compiler {
         // rejects undeclared fields, error lists them
         // (contract.impl.js:691-719); static schema ⇒ compile-time diff
         val extra = st.fieldNames.filterNot(o.fields.keySet)
-        if (extra.nonEmpty)
-          viol(path, s"object with no extra fields",
-            lit(extra.mkString("{", ", ", "}")))
+        if (extra.nonEmpty) strictExtrasViol(extra.toSeq, f, selfRender)
         else nullViol
       } else nullViol
     coalesceAll(checks :+ strictViol)
+  }
+
+  /** ``Field `x` required, got <render of the object>`` — raised at the
+    * OBJECT's level (the reference fails before pushing the field frame,
+    * contract.impl.js:653-660), so message frames come from the object's
+    * frame while the data-plane `path` still points at the field. */
+  private def requiredViol(fname: String, childF: Frame, objF: Frame,
+                           selfRender: Column, got: Column): Column =
+    viol(Frame(childF.path, objF.frameLong, objF.ppath),
+      lit(s"Field `$fname`"), got, "r",
+      concat(lit(s"Field `$fname` required, got "), selfRender))
+
+  /** strict-mode undeclared fields (contract.impl.js:691-719): message
+    * is a constructor-msg error whose text ends with its own newline. */
+  private def strictExtrasViol(extra: Seq[String], f: Frame,
+                               selfRender: Column): Column = {
+    val label = if (extra.size == 1) "field " else "fields "
+    val names = extra.map(k => s"`$k`").mkString(", ")
+    viol(f, lit("object with no extra fields"),
+      lit(extra.mkString("{", ", ", "}")), "x",
+      concat(lit(s"Found the extra $label$names in "), selfRender,
+        lit("\n")))
   }
 
   /** one declared field: required-unless-optional; a NULL value on a
     * required field reports ``Field `x` required``, not the inner
     * contract's type error (contract.impl.js:653-663). */
   private def fieldCheck(fname: String, fc: Contract, dt: DataType,
-                         child: Column, childPath: Column): Column =
+                         child: Column, childF: Frame, objF: Frame,
+                         selfRender: Column)
+                        (implicit env: MsgEnv): Column =
     peelOptional(fc) match {
       case Some(inner) =>
-        when(child.isNotNull, firstViol(inner, dt, child, childPath))
+        when(child.isNotNull, firstViol(inner, dt, child, childF))
       case None =>
-        when(child.isNull, viol(childPath, s"Field `$fname`", lit("null")))
-          .otherwise(firstViol(fc, dt, child, childPath))
+        when(child.isNull,
+          requiredViol(fname, childF, objF, selfRender, lit("null")))
+          .otherwise(firstViol(fc, dt, child, childF))
     }
 
   /** strips one level of optionality, preserving a rename wrapper so a
@@ -297,9 +499,9 @@ object Compiler {
   }
 
   private def typeGate(ok: Boolean, name: String, dt: DataType, col: Column,
-                       path: Column): Column =
-    if (ok) when(col.isNull, viol(path, name, lit("null")))
-    else viol(path, name, render(dt, col))
+                       f: Frame): Column =
+    if (ok) when(col.isNull, viol(f, name, lit("null")))
+    else viol(f, name, render(dt, col))
 
   private def isNumeric(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -345,8 +547,11 @@ object Compiler {
   // collect-ALL mode: every violation in depth-first order (array of
   // viol structs). The reference's check() throws on the FIRST error
   // (context.fail, contract.impl.js:108-111) — firstViol is the parity
-  // surface; allViols is the engine's batch-reporting extension (a
-  // 10¹²-row job wants the full defect inventory in one pass).
+  // surface. allViols serves two masters: the engine's batch-reporting
+  // extension (a 10¹²-row job wants the full defect inventory in one
+  // pass), and or-failure aggregation, where the reference's collecting
+  // context.fail gathers EVERY failure in each branch's subtree
+  // (contract.impl.js:440-452).
   // ---------------------------------------------------------------------
 
   private val emptyViols: Column = array().cast(ArrayType(violType))
@@ -354,56 +559,56 @@ object Compiler {
   private def asArray(v: Column): Column =
     when(v.isNotNull, array(v)).otherwise(emptyViols)
 
-  def allViols(c: Contract, dt: DataType, col: Column, path: Column)
-      : Column = c match {
+  def allViols(c: Contract, dt: DataType, col: Column, f: Frame)
+              (implicit env: MsgEnv): Column = c match {
     case AnyC => emptyViols
     case OptionalC(inner) =>
-      when(col.isNotNull, allViols(inner, dt, col, path))
+      when(col.isNotNull, allViols(inner, dt, col, f))
         .otherwise(emptyViols)
     case Renamed(inner, name) =>
-      // rename rewrites expected on this node's own violations
-      transform(allViols(inner, dt, col, path), v =>
-        struct(v.getField("path").as("path"),
-          when(v.getField("path") === path, lit(name))
-            .otherwise(v.getField("expected")).as("expected"),
-          v.getField("got").as("got")).cast(violType))
-    case f: ForwardRefC => allViols(f.resolved, dt, col, path)
+      transform(allViols(inner, dt, col, f), v =>
+        renameExpected(v, f, name))
+    case fr: ForwardRefC => allViols(fr.resolved, dt, col, f)
     case AndC(branches, silent) =>
       val vs = branches.zipWithIndex.map { case (b, i) =>
-        val p = if (silent || branches.size == 1) path
-                else concat(path, lit(s".and($i)"))
-        allViols(b, dt, col, p)
+        val bf = if (silent) f else f.push(lit(s".and($i)"),
+          lit(s"for the ${ithS(i)} branch of the `and` contract"))
+        allViols(b, dt, col, bf)
       }
       vs.reduce(concat(_, _))
-    case ArrayC(item) => dt match {
+    case a @ ArrayC(item) => dt match {
       case ArrayType(et, _) =>
-        when(col.isNull, array(viol(path, c.render, lit("null"))))
+        when(col.isNull, array(viol(f, a.name, lit("null"))))
           .otherwise(flatten(transform(col, (x, i) =>
-            allViols(item, et, x,
-              concat(path, lit("["), i.cast(StringType), lit("]"))))))
-      case _ => asArray(firstViol(c, dt, col, path))
+            allViols(item, et, x, f.push(
+              concat(lit("["), i.cast(StringType), lit("]")),
+              concat(lit("for the "), ith(i),
+                lit(" element of the array")))))))
+      case _ => asArray(firstViol(a, dt, col, f))
     }
     case o: ObjectC => dt match {
       case st: StructType =>
-        val byName = st.fields.map(f => f.name -> f).toMap
+        val byName = st.fields.map(x => x.name -> x).toMap
+        val selfRender = render(dt, col)
         val checks = o.fields.toSeq.map { case (fname, fc) =>
+          val childF = Frame.field(f, fname)
           byName.get(fname) match {
             case None =>
               if (peelOptional(fc).isDefined) emptyViols
-              else array(viol(path, s"Field `$fname`", lit("missing")))
+              else array(requiredViol(fname, childF, f, selfRender,
+                lit("missing")))
             case Some(sf) =>
               val child = col.getField(fname)
-              val childPath = concat(path, lit("." + fname))
               peelOptional(fc) match {
                 case Some(inner) =>
                   when(child.isNotNull,
-                    allViols(inner, sf.dataType, child, childPath))
+                    allViols(inner, sf.dataType, child, childF))
                     .otherwise(emptyViols)
                 case None =>
                   when(child.isNull,
-                    array(viol(childPath, s"Field `$fname`", lit("null"))))
-                    .otherwise(
-                      allViols(fc, sf.dataType, child, childPath))
+                    array(requiredViol(fname, childF, f, selfRender,
+                      lit("null"))))
+                    .otherwise(allViols(fc, sf.dataType, child, childF))
               }
           }
         }
@@ -411,32 +616,44 @@ object Compiler {
           if (o.isStrict) {
             val extra = st.fieldNames.filterNot(o.fields.keySet)
             if (extra.nonEmpty)
-              array(viol(path, "object with no extra fields",
-                lit(extra.mkString("{", ", ", "}"))))
+              array(strictExtrasViol(extra.toSeq, f, selfRender))
             else emptyViols
           } else emptyViols
         val fieldsAll = (checks :+ strictViols).reduce(concat(_, _))
-        when(col.isNull, array(viol(path, "object", lit("null"))))
+        when(col.isNull, array(viol(f, "object", lit("null"))))
           .otherwise(fieldsAll)
-      case _ => asArray(firstViol(c, dt, col, path))
+      case MapType(StringType, _, _) => asArray(firstViol(o, dt, col, f))
+      case _ =>
+        // inside an or-branch the reference's collecting fail gathers
+        // BOTH the firstChecker failure and, since nestedChecker still
+        // runs, a required-failure per non-optional field (observed by
+        // executing the reference: or(object({x}), …) on 5 lists
+        // "Expected object" AND "Field `x` required, got 5")
+        val selfRender = render(dt, col)
+        val reqs = o.fields.toSeq.collect {
+          case (fname, fc) if peelOptional(fc).isEmpty =>
+            requiredViol(fname, Frame.field(f, fname), f, selfRender,
+              render(dt, col))
+        }
+        concat(array((viol(f, "object", render(dt, col)) +: reqs): _*))
     }
-    case HashC(valueC) => dt match {
+    case h @ HashC(valueC) => dt match {
       case MapType(_, vt, _) =>
-        when(col.isNull, array(viol(path, c.render, lit("null"))))
+        when(col.isNull, array(viol(f, h.name, lit("null"))))
           .otherwise(flatten(transform(map_entries(col), e =>
-            allViols(valueC, vt, e.getField("value"),
-              concat(path, lit("."), e.getField("key")
-                .cast(StringType))))))
-      case _ => asArray(firstViol(c, dt, col, path))
+            allViols(valueC, vt, e.getField("value"), hashFrame(f, e)))))
+      case _ => asArray(firstViol(h, dt, col, f))
     }
     // leaves, or, tuple, preds: single-violation nodes
-    case other => asArray(firstViol(other, dt, col, path))
+    case other => asArray(firstViol(other, dt, col, f))
   }
 
   // ---------------------------------------------------------------------
-  // deterministic value rendering (`got` / `full_value` strings) —
-  // util.inspect-like, depth-capped (utils.js:53-65), length-capped for
-  // scale. Only evaluated on failing rows (inside when(fail, …)).
+  // deterministic value rendering (`got` / full-value strings) —
+  // util.inspect parity for single-line values, depth-capped
+  // (utils.js:53-65), length-capped for scale (inspect's multi-line
+  // wrapping of large values is NOT replicated — the cap truncates
+  // instead). Only evaluated on failing rows (inside when(fail, …)).
   // ---------------------------------------------------------------------
 
   def render(dt: DataType, col: Column): Column =
@@ -448,7 +665,7 @@ object Compiler {
 
   private def renderDepth(dt: DataType, col: Column, depth: Int): Column = {
     val body: Column = dt match {
-      case StringType => concat(lit("'"), col, lit("'"))
+      case StringType => quoted(col)
       case BooleanType => when(col, "true").otherwise("false")
       case DoubleType | FloatType => jsNum(col)
       case t if isIntegral(t) => col.cast(StringType)
@@ -459,21 +676,23 @@ object Compiler {
       case BinaryType =>
         concat(lit("<binary "), substring(hex(col), 1, 16), lit(">"))
       case ArrayType(et, _) =>
-        if (depth <= 0) lit("[Array]")
+        // inspect recurses `depth` levels below the top (util.inspect
+        // depth semantics: depth 0 still renders one level of braces)
+        if (depth < 0) lit("[Array]")
         else when(size(col) === 0, "[]").otherwise(
           concat(lit("[ "),
             array_join(transform(col, x => renderDepth(et, x, depth - 1)),
               ", ", "null"),
             lit(" ]")))
       case StructType(sfs) =>
-        if (depth <= 0) lit("[Object]")
+        if (depth < 0) lit("[Object]")
         else if (sfs.isEmpty) lit("{}")
         else concat(lit("{ "),
           concat_ws(", ", sfs.map(sf => concat(lit(sf.name + ": "),
             renderDepth(sf.dataType, col.getField(sf.name), depth - 1))): _*),
           lit(" }"))
       case MapType(_, vt, _) =>
-        if (depth <= 0) lit("[Object]")
+        if (depth < 0) lit("[Object]")
         else when(size(col) === 0, "{}").otherwise(
           concat(lit("{ "),
             array_join(transform(map_entries(col), e =>
@@ -485,6 +704,16 @@ object Compiler {
     }
     when(col.isNull, lit("null")).otherwise(body)
   }
+
+  /** util.inspect string quoting: single quotes, switching to double
+    * when the value contains a single quote (and no double quote);
+    * single-with-escape when it contains both. */
+  private def quoted(col: Column): Column =
+    when(col.contains("'") && !col.contains("\""),
+      concat(lit("\""), col, lit("\"")))
+      .when(col.contains("'"),
+        concat(lit("'"), regexp_replace(col, "'", "\\\\'"), lit("'")))
+      .otherwise(concat(lit("'"), col, lit("'")))
 
   /** JS number rendering: integral doubles drop the ".0" (5.0 → "5"),
     * NaN/Infinity verbatim — matches Render.num on the driver side. */

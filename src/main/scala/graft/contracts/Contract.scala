@@ -20,9 +20,16 @@ import scala.collection.immutable.ListMap
   * `strict`, `extend`) returns a new value.
   */
 sealed trait Contract {
-  /** Canonical rendering, used in `expected` text and `contract_repr`
-    * (reference `toString`, contract.impl.js:181-187). */
+  /** Canonical rendering — the reference `toString`
+    * (contract.impl.js:181-187): "c."-prefixed, nested renders joined
+    * with ", ", bug-for-bug including `c.or()` (or's subToString returns
+    * [] in the reference) and `c.object.strict` (strict() renames the
+    * whole contract). Used for `contract_repr` and the `in contract:`
+    * message clause. */
   def render: String
+  /** `contractName` (contract.impl.js:131) — the `expected` text when
+    * this node's own check fails. */
+  def name: String = render.stripPrefix("c.")
   def rename(n: String): Contract = Renamed(this, n)
   def optional: Contract = this match {
     case o: OptionalC => o
@@ -30,73 +37,87 @@ sealed trait Contract {
   }
 }
 
-/** accepts everything — contract.impl.js:281-282 */
-case object AnyC extends Contract { def render = "any" }
-
-/** rejects everything — contract.impl.js:289-292 */
-case object NothingC extends Contract { def render = "nothing" }
-
-/** string type test — contract.impl.js:328-329 */
-case object StringC extends Contract { def render = "string" }
-
-/** number type test — contract.impl.js:331-332 */
-case object NumberC extends Contract { def render = "number" }
-
-/** integer: Math.floor(v) === v — contract.impl.js:334-337 */
-case object IntegerC extends Contract { def render = "integer" }
-
-/** boolean type test — contract.impl.js:339-340 */
-case object BoolC extends Contract { def render = "bool" }
-
-/** Date test — contract.impl.js:345-346; maps to Date/TimestampType */
-case object DateC extends Contract { def render = "date" }
-
-/** JS-falsy — contract.impl.js:298-301 */
-case object FalsyC extends Contract { def render = "falsy" }
-
-/** negation of falsy — contract.impl.js:303-306 */
-case object TruthyC extends Contract { def render = "truthy" }
-
-/** exact value — contract.impl.js:323-326 (null-safe equality) */
-final case class ValueC(v: Any) extends Contract {
-  def render = s"value(${Render.lit(v)})"
+/** accepts everything — contract.impl.js:281-282. Never renamed in the
+  * reference, so its toString keeps the `()` (subToString is empty). */
+case object AnyC extends Contract {
+  def render = "c.any()"; override def name = "any"
 }
 
-/** membership in an enumerated set — contract.impl.js:308-321 */
+/** rejects everything — contract.impl.js:289-292 */
+case object NothingC extends Contract { def render = "c.nothing" }
+
+/** string type test — contract.impl.js:328-329 */
+case object StringC extends Contract { def render = "c.string" }
+
+/** number type test — contract.impl.js:331-332 */
+case object NumberC extends Contract { def render = "c.number" }
+
+/** integer: Math.floor(v) === v — contract.impl.js:334-337 */
+case object IntegerC extends Contract { def render = "c.integer" }
+
+/** boolean type test — contract.impl.js:339-340 */
+case object BoolC extends Contract { def render = "c.bool" }
+
+/** Date test — contract.impl.js:345-346 (named 'Date', capital D);
+  * maps to Date/TimestampType */
+case object DateC extends Contract { def render = "c.Date" }
+
+/** JS-falsy — contract.impl.js:298-301 */
+case object FalsyC extends Contract { def render = "c.falsy" }
+
+/** negation of falsy — contract.impl.js:303-306 */
+case object TruthyC extends Contract { def render = "c.truthy" }
+
+/** exact value — contract.impl.js:323-326 (null-safe equality). The
+  * display name interpolates the value as a JS template literal —
+  * strings UNQUOTED: `value(asd)` (contract.impl.js:325). */
+final case class ValueC(v: Any) extends Contract {
+  def render = s"c.value(${Render.js(v)})"
+}
+
+/** membership in an enumerated set — contract.impl.js:308-321; values
+  * joined bare: `oneOf(en, es)` (:309). */
 final case class OneOfC(vs: Seq[Any]) extends Contract {
-  def render = s"oneOf(${vs.map(Render.lit).mkString(", ")})"
+  def render = s"c.oneOf(${vs.map(Render.js).mkString(", ")})"
 }
 
 /** string AND regex test — contract.impl.js:412-418. Pattern is a Java
   * regex, applied unanchored (JS `RegExp.test` ≈ `rlike`). */
 final case class MatchesC(pattern: String) extends Contract {
-  def render = s"matches(/$pattern/)"
+  def render = s"c.matches(/$pattern/)"
 }
 
 /** user predicate over the compiled Column — the `pred(fn)` escape hatch
   * (contract.impl.js:284-287). `fn` builds a *Catalyst expression* (stays
   * inside codegen); for opaque closures use [[PredUdfC]]. */
-final case class PredC(name: String, fn: Column => Column) extends Contract {
-  def render = name
+final case class PredC(predName: String, fn: Column => Column)
+    extends Contract {
+  def render = s"c.$predName"
 }
 
 /** opaque Scala-closure predicate, compiled to a Scala UDF (blocks
   * pushdown — last resort, mirrors the reference's arbitrary JS pred). */
-final case class PredUdfC(name: String, fn: Any => Boolean) extends Contract {
-  def render = name
+final case class PredUdfC(predName: String, fn: Any => Boolean)
+    extends Contract {
+  def render = s"c.$predName"
 }
 
 /** all pass, in order, fail on first, `.and(i)` path frame —
   * contract.impl.js:384-410; silent variant omits frames (:407-409). */
 final case class AndC(branches: Seq[Contract], silent: Boolean = false)
     extends Contract {
-  def render = s"and(${branches.map(_.render).mkString(", ")})"
+  // silentAnd shares the 'and' name (makeAnd, contract.impl.js:383-410)
+  def render = s"c.and(${branches.map(_.render).mkString(", ")})"
+  override def name = "and"
 }
 
 /** first-success short-circuit in declaration order; on total failure the
   * violation aggregates branch expectations — contract.impl.js:420-482 */
 final case class OrC(branches: Seq[Contract]) extends Contract {
-  def render = s"or(${branches.map(_.render).mkString(", ")})"
+  // bug-for-bug: the reference's or never overrides subToString, so its
+  // toString drops the branches — `c.or()` (contract.impl.js:181-187,
+  // :421; confirmed by executing the reference)
+  def render = "c.or()"
 }
 
 /** accept null (SQL NULL ⇔ JS null/undefined, utils.js:20-22), else
@@ -104,30 +125,35 @@ final case class OrC(branches: Seq[Contract]) extends Contract {
   * falsy values '' and NaN are rejected (contract.spec.js:355-370;
   * implementation beats the doc at contract.js:233-234). */
 final case class OptionalC(inner: Contract) extends Contract {
-  def render = s"optional(${inner.render})"
+  def render = s"c.optional(${inner.render})"
+  override def name = s"optional(${inner.name})"
 }
 
 /** homogeneous array, every element checked, `[i]` path frame —
   * contract.impl.js:518-542 */
 final case class ArrayC(item: Contract) extends Contract {
-  def render = s"array(${item.render})"
+  def render = s"c.array(${item.render})"
+  override def name = "array"
 }
 
 /** positional tuple: length >= n, per-position checks, extras pass
   * unless strict — contract.impl.js:544-607 */
 final case class TupleC(items: Seq[Contract], isStrict: Boolean = false)
     extends Contract {
-  def render = {
-    val base = s"tuple(${items.map(_.render).mkString(", ")})"
-    if (isStrict) s"$base.strict()" else base
-  }
+  // strict() RENAMES the contract (contract.impl.js:598) so the whole
+  // rendering collapses to `c.tuple.strict`
+  def render =
+    if (isStrict) "c.tuple.strict"
+    else s"c.tuple(${items.map(_.render).mkString(", ")})"
+  override def name = "tuple"
   def strict: TupleC = copy(isStrict = true)
 }
 
 /** homogeneous map values under arbitrary string keys, `.k` path frame —
   * contract.impl.js:609-640 */
 final case class HashC(valueC: Contract) extends Contract {
-  def render = s"hash(${valueC.render})"
+  def render = s"c.hash(${valueC.render})"
+  override def name = "hash"
 }
 
 /** named fields each with its own contract; required unless optional;
@@ -136,11 +162,13 @@ final case class HashC(valueC: Contract) extends Contract {
   * declaration order, like JS object insertion order. */
 final case class ObjectC(fields: ListMap[String, Contract],
                          isStrict: Boolean = false) extends Contract {
-  def render = {
-    val fs = fields.map { case (k, v) => s"$k: ${v.render}" }.mkString(", ")
-    val base = s"object({$fs})"
-    if (isStrict) s"$base.strict()" else base
-  }
+  // strict() renames to 'object.strict' (contract.impl.js:718), which
+  // collapses the rendering — bug-for-bug with the reference
+  def render =
+    if (isStrict) "c.object.strict"
+    else s"c.object({${fields.map { case (k, v) => s"$k: ${v.render}" }
+      .mkString(", ")}})"
+  override def name = "object"
   /** merged field map, persistent update — contract.impl.js:683-689 */
   def extend(more: (String, Contract)*): ObjectC =
     copy(fields = fields ++ ListMap(more: _*))
@@ -150,8 +178,10 @@ final case class ObjectC(fields: ListMap[String, Contract],
 
 /** display-name override flowing into `expected` text — rename,
   * contract.impl.js:188-198 */
-final case class Renamed(inner: Contract, name: String) extends Contract {
-  def render = name
+final case class Renamed(inner: Contract, newName: String)
+    extends Contract {
+  def render = s"c.$newName"
+  override def name = newName
 }
 
 /** forward reference enabling self-referential contracts
@@ -163,7 +193,7 @@ final class ForwardRefC extends Contract {
   def setRef(c: Contract): this.type = { ref = Some(c); this }
   def resolved: Contract = ref.getOrElse(
     throw new ContractLibraryError("forwardRef used before setRef"))
-  def render = "forwardRef"
+  def render = "c.forwardRef"
 }
 
 /** misuse of the engine's own builder API — ContractLibraryError,
@@ -173,12 +203,14 @@ final class ContractLibraryError(msg: String)
     extends IllegalArgumentException(msg)
 
 /** Deterministic driver-side literal rendering used in contract
-  * renderings (reference `stringify`, utils.js:59-65: util.inspect-like —
-  * single-quoted strings, JS number formatting where 5.0 renders "5"). */
+  * renderings. `js` is JS template-literal interpolation (the reference
+  * builds value/oneOf names with `${v}` — strings UNQUOTED,
+  * contract.impl.js:309, :325); `num` is JS number formatting where 5.0
+  * renders "5". */
 object Render {
-  def lit(v: Any): String = v match {
+  def js(v: Any): String = v match {
     case null => "null"
-    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case s: String => s
     case d: Double => num(d)
     case f: Float => num(f.toDouble)
     case b: Boolean => b.toString

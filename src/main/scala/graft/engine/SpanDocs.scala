@@ -62,31 +62,41 @@ object SpanDocs {
     * loop decides pass/fail; failures delegate to the generic compiler
     * for bit-identical payloads) — falls back to the fully generic
     * compile when the physical span shape differs. */
-  def fastFirstViolation(df: DataFrame): Column = {
+  def fastFirstViolation(df: DataFrame, thing: String = "docs"): Column = {
     import graft.contracts.Compiler.viol
     val spanDt = df.schema("spans").dataType
+    implicit val env: MsgEnv = MsgEnv(thing, contract)
     if (!graft.functions.SpanCheck.matches(spanDt))
-      Validate.firstViolation(df, contract)
+      Validate.firstViolation(df, contract, thing)
     else {
+      // frames must match what Validate's row-level compile would build
+      // (the fast path's slow-path payloads are compared bit-for-bit)
+      val rowRender = graft.contracts.Compiler.render(
+        org.apache.spark.sql.types.StructType(df.schema.fields),
+        struct(df.columns.map(col): _*))
       val docIdViol = {
         val dt = df.schema("doc_id").dataType
-        when(col("doc_id").isNull,
-          viol(lit(".doc_id"), "Field `doc_id`", lit("null")))
-          .otherwise(graft.contracts.Compiler.firstViol(
-            contract.fields("doc_id"), dt, col("doc_id"), lit(".doc_id")))
+        graft.contracts.Compiler.objectViols(
+          C.obj("doc_id" -> contract.fields("doc_id")),
+          org.apache.spark.sql.types.StructType(df.schema.fields)
+            .apply(Set("doc_id")).asInstanceOf[org.apache.spark.sql.types.StructType],
+          _ => col("doc_id"), Frame.root, rowRender)
       }
       val spansViol =
         when(col("spans").isNull,
-          viol(lit(".spans"), "Field `spans`", lit("null")))
+          viol(Frame(lit(".spans"), lit(""), lit("")),
+            lit("Field `spans`"), lit("null"), "r",
+            concat(lit("Field `spans` required, got "), rowRender)))
           .otherwise(graft.functions.SpanCheck.check(df, "spans",
-            contract.fields("spans")))
+            contract.fields("spans"), thing))
       coalesce(docIdViol, spansViol)
     }
   }
 
   /** violations via the fast path, same shape as Validate.violations. */
   def violationsFast(docs: DataFrame, thing: String = "docs"): DataFrame = {
-    val v = fastFirstViolation(docs)
+    implicit val env: MsgEnv = MsgEnv(thing, contract)
+    val v = fastFirstViolation(docs, thing)
     docs.withColumn("_v", v)
       .where(col("_v").isNotNull)
       .select(
@@ -95,8 +105,7 @@ object SpanDocs {
         col("_v.expected").as("expected"),
         col("_v.got").as("got"),
         lit(contract.render).as("contract_repr"),
-        Validate.message(thing, col("_v.path"), col("_v.expected"),
-          col("_v.got")).as("message"))
+        graft.contracts.Compiler.assembleMessage(col("_v")).as("message"))
   }
 
   /** end-to-end validation of a span table: contract violations +

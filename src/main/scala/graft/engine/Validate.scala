@@ -24,35 +24,54 @@ class ContractViolationException(message: String, val docId: String,
   * whole-stage-codegens the check. `violations` and `summary` both derive
   * from the same plan; at 10¹² rows the per-partition summary is a
   * map-side partial agg (no extra scan of the violation details).
+  *
+  * Messages are rendered in the reference's ContractError format
+  * (multi-line; see [[graft.contracts.Compiler.assembleMessage]]),
+  * byte-identical to messages captured from executing the reference.
+  * The "The full value being checked was:" section follows
+  * `withFullValue` (off by default at scale — it renders the complete
+  * document per violation).
   */
 object Validate {
 
   /** Row-level validation of a DataFrame against an object contract whose
     * fields bind to top-level columns. `thing` is the check name appearing
     * in messages (the `name` arg of `check`, contract.impl.js:265). */
-  def firstViolation(df: DataFrame, contract: ObjectC): Column =
-    Compiler.objectViols(contract, df.schema, f => col(f), lit(""))
+  def firstViolation(df: DataFrame, contract: ObjectC,
+                     thing: String = "data",
+                     withFullValue: Boolean = false): Column = {
+    implicit val env: MsgEnv = msgEnv(df, contract, thing, withFullValue)
+    Compiler.objectViols(contract, df.schema, f => col(f), Frame.root,
+      rowRender(df))
+  }
+
+  private def rowRender(df: DataFrame): Column =
+    Compiler.render(StructType(df.schema.fields),
+      struct(df.columns.map(col): _*))
+
+  private def msgEnv(df: DataFrame, contract: ObjectC, thing: String,
+                     withFullValue: Boolean): MsgEnv =
+    MsgEnv(thing, contract.render,
+      if (withFullValue) Some(rowRender(df)) else None)
 
   /** violations dataset: one row per input row with >= 1 violation,
     * carrying the first violation in canonical traversal order
-    * ("throws first error" ⇒ first in depth-first declaration order).
-    * Message format mirrors contract-errors.js:154-231 (blame line is
-    * always the check-mode "check on `x` failed:" in the data plane —
-    * contract-errors.js:154-170), flattened to one line for sink hygiene;
-    * the full-value dump is suppressed at scale (SURVEY.md §4.1). */
+    * ("throws first error" ⇒ first in depth-first declaration order). */
   def violations(df: DataFrame, contract: ObjectC, idCol: String,
                  thing: String = "data"): DataFrame =
     violations(df, contract, idCol, thing, withFullValue = false)
 
   /** `withFullValue = true` adds the reference's "The full value being
-    * checked was: …" payload (contract-errors.js:182-198) as a
-    * `full_value` column — depth-capped rendering of the whole row,
-    * suppressed (null) when it would just repeat `got`
-    * (contract-errors.js:187-193). Off by default at scale: it renders
-    * the complete document per violation. */
+    * checked was: …" section to messages (contract-errors.js:182-198) —
+    * full byte-parity mode — plus a `full_value` column (depth-capped
+    * rendering of the whole row, suppressed (null) when it would just
+    * repeat `got`). Off by default at scale: it renders the complete
+    * document per violation. */
   def violations(df: DataFrame, contract: ObjectC, idCol: String,
                  thing: String, withFullValue: Boolean): DataFrame = {
-    val v = firstViolation(df, contract)
+    implicit val env: MsgEnv = msgEnv(df, contract, thing, withFullValue)
+    val v = Compiler.objectViols(contract, df.schema, f => col(f),
+      Frame.root, rowRender(df))
     val base = df.withColumn("_v", v)
       .where(col("_v").isNotNull)
     val core = Seq(
@@ -61,29 +80,15 @@ object Validate {
       col("_v.expected").as("expected"),
       col("_v.got").as("got"),
       lit(contract.render).as("contract_repr"),
-      message(thing, col("_v.path"), col("_v.expected"), col("_v.got"))
-        .as("message"))
+      Compiler.assembleMessage(col("_v")).as("message"))
     if (!withFullValue) base.select(core: _*)
     else {
-      val rowStruct = struct(df.columns.map(col): _*)
-      val full = Compiler.render(
-        org.apache.spark.sql.types.StructType(df.schema.fields), rowStruct)
+      val full = rowRender(df)
       base.select(core :+
         when(full === col("_v.got"), lit(null))
           .otherwise(full).as("full_value"): _*)
     }
   }
-
-  /** `check on `x` failed: Expected E, but got G, at position x.P`
-    * (expected-line template contract-errors.js:172-180; position clause
-    * contract-errors.js:224-227). */
-  def message(thing: String, path: Column, expected: Column,
-              got: Column): Column =
-    concat(
-      lit(s"check on `$thing` failed: Expected "), expected,
-      lit(", but got "), got,
-      when(path =!= "", concat(lit(s", at position $thing"), path))
-        .otherwise(lit("")))
 
   /** per-partition pass/fail summary (BASELINE.json `north_rule`):
     * partitions are *data* partitions (a caller-supplied partition
@@ -115,10 +120,13 @@ object Validate {
     * contract.impl.js:167-175 / contract-errors.js) — the driver-side
     * fail-fast mode for small/gate datasets; batch jobs use
     * [[violations]] (errors as data). Returns the input unchanged on
-    * success, like the reference's `check`. */
+    * success, like the reference's `check`. Full-value reporting is ON:
+    * fail-fast mode is for small data, so the reference's complete
+    * message applies. */
   def checkOrThrow(df: DataFrame, contract: ObjectC, idCol: String,
                    thing: String = "data"): DataFrame = {
-    val first = violations(df, contract, idCol, thing).limit(1).collect()
+    val first = violations(df, contract, idCol, thing,
+      withFullValue = true).limit(1).collect()
     if (first.nonEmpty)
       throw new ContractViolationException(
         first(0).getAs[String]("message"),
@@ -128,10 +136,14 @@ object Validate {
 
   /** single-column convenience: validate one column against any contract */
   def columnViolations(df: DataFrame, colName: String, contract: Contract,
-                       idCol: String, thing: String = "data"): DataFrame = {
+                       idCol: String, thing: String = "data",
+                       withFullValue: Boolean = false): DataFrame = {
     val dt = df.schema(colName).dataType
-    val v = Compiler.firstViol(contract, dt, col(colName),
-      lit("." + colName))
+    implicit val env: MsgEnv = MsgEnv(thing, contract.render,
+      if (withFullValue) Some(Compiler.render(dt, col(colName))) else None)
+    val f = Frame.root.push(lit("." + colName),
+      lit(s"for the field `$colName` of the object"))
+    val v = Compiler.firstViol(contract, dt, col(colName), f)
     df.withColumn("_v", v)
       .where(col("_v").isNotNull)
       .select(
@@ -140,7 +152,6 @@ object Validate {
         col("_v.expected").as("expected"),
         col("_v.got").as("got"),
         lit(contract.render).as("contract_repr"),
-        message(thing, col("_v.path"), col("_v.expected"), col("_v.got"))
-          .as("message"))
+        Compiler.assembleMessage(col("_v")).as("message"))
   }
 }

@@ -14,9 +14,10 @@ object ViolationOps {
     * depth-first order, `seq` numbering them within a document. */
   def allViolations(df: DataFrame, contract: ObjectC, idCol: String,
                     thing: String = "data"): DataFrame = {
-    val vs = Compiler.allViols(contract,
-      org.apache.spark.sql.types.StructType(df.schema.fields),
-      struct(df.columns.map(col): _*), lit(""))
+    implicit val env: MsgEnv = MsgEnv(thing, contract)
+    val rowType = org.apache.spark.sql.types.StructType(df.schema.fields)
+    val rowCol = struct(df.columns.map(col): _*)
+    val vs = Compiler.allViols(contract, rowType, rowCol, Frame.root)
     df.withColumn("_vs", vs)
       .where(size(col("_vs")) > 0)
       .select(col(idCol).cast("string").as("doc_id"),
@@ -25,8 +26,7 @@ object ViolationOps {
         col("_v.path").as("path"), col("_v.expected").as("expected"),
         col("_v.got").as("got"),
         lit(contract.render).as("contract_repr"),
-        Validate.message(thing, col("_v.path"), col("_v.expected"),
-          col("_v.got")).as("message"))
+        Compiler.assembleMessage(col("_v")).as("message"))
   }
 
   /** deterministic per-check violation sampling: at most `k` rows per

@@ -178,14 +178,19 @@ object SpanCheck {
     * and then re-bound to slot 0 of the single-value row the slow path
     * evaluates. */
   def check(df: org.apache.spark.sql.DataFrame, spansCol: String,
-            spansContract: Contract, path: String = ".spans"): Column = {
+            spansContract: Contract, thing: String = "docs")
+           (implicit env: graft.contracts.MsgEnv): Column = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.functions.lit
     val dt = df.schema(spansCol).dataType
     require(matches(dt), "SpanCheck fast path requires the span shape")
+    // same frame the row-level compile would push for this field, so
+    // slow-path payloads are bit-identical to the generic plan
+    val frame = graft.contracts.Frame.field(
+      graft.contracts.Frame.root, spansCol)
     val genericCol = Compiler.firstViol(spansContract, dt,
-      org.apache.spark.sql.functions.col(spansCol),
-      org.apache.spark.sql.functions.lit(path))
+      org.apache.spark.sql.functions.col(spansCol), frame)
     val analyzed = df.select(genericCol.as("__gv__"))
       .queryExecution.analyzed
     val resolved = analyzed.asInstanceOf[Project].projectList.head match {

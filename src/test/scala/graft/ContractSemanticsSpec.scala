@@ -77,7 +77,7 @@ class ContractSemanticsSpec extends SparkTestBase {
   test("date: timestamps pass, strings fail") {
     assertPass(fix("timestamp'2011-11-11 00:00:00' as x"),
       C.obj("x" -> C.date))
-    assertViol(fix("'2011' as x"), C.obj("x" -> C.date), ".x", "date",
+    assertViol(fix("'2011' as x"), C.obj("x" -> C.date), ".x", "Date",
       "'2011'")
   }
 
@@ -92,12 +92,12 @@ class ContractSemanticsSpec extends SparkTestBase {
   test("and: first failing branch wins, .and(i) path frame") {
     val c = C.obj("x" -> C.and(C.string, C.value("asd")))
     assertPass(fix("'asd' as x"), c)
-    assertViol(fix("'aaa' as x"), c, ".x.and(1)", "value('asd')", "'aaa'")
+    assertViol(fix("'aaa' as x"), c, ".x.and(1)", "value(asd)", "'aaa'")
     assertViol(fix("5 as x"), c, ".x.and(0)", "string", "5")
   }
   test("silentAnd: no .and(i) frames (contract.impl.js:407-409)") {
     val c = C.obj("x" -> C.silentAnd(C.string, C.value("asd")))
-    assertViol(fix("'aaa' as x"), c, ".x", "value('asd')", "'aaa'")
+    assertViol(fix("'aaa' as x"), c, ".x", "value(asd)", "'aaa'")
   }
 
   // --- or (contract.spec.js:149-169; impl :420-482) ---
@@ -105,7 +105,8 @@ class ContractSemanticsSpec extends SparkTestBase {
     val c = C.obj("x" -> C.or(C.string, C.value(6)))
     assertPass(fix("'aaa' as x"), c)
     assertPass(fix("6 as x"), c)
-    assertViol(fix("0 as x"), c, ".x", "or(string, value(6))", "0")
+    // total or-failure reports the reference's aggregated form
+    assertViol(fix("0 as x"), c, ".x", "none of the contracts passed", "0")
   }
 
   // --- matches (contract.spec.js:171-181) ---
@@ -123,7 +124,7 @@ class ContractSemanticsSpec extends SparkTestBase {
   test("oneOf: membership") {
     val c = C.obj("x" -> C.oneOf("a", "b"))
     assertPass(fix("'a' as x"), c)
-    assertViol(fix("'c' as x"), c, ".x", "oneOf('a', 'b')", "'c'")
+    assertViol(fix("'c' as x"), c, ".x", "oneOf(a, b)", "'c'")
   }
 
   // --- integer (impl :334-337) ---
@@ -197,8 +198,11 @@ class ContractSemanticsSpec extends SparkTestBase {
       C.obj("o" -> C.obj("x" -> C.number)))
   }
   test("object: missing non-optional field fails (impl :653-660)") {
+    // data-plane path points at the missing field itself (the
+    // reference's error is raised at the object level — frames in the
+    // MESSAGE reflect that; see MessageParitySpec)
     assertViol(fix("named_struct('z', 9) as o"),
-      C.obj("o" -> C.obj("x" -> C.number)), ".o", "Field `x`", "missing")
+      C.obj("o" -> C.obj("x" -> C.number)), ".o.x", "Field `x`", "missing")
   }
 
   // --- optional-field matrix (contract.spec.js:322-381; FIXTURES.md §3) ---
@@ -231,7 +235,7 @@ class ContractSemanticsSpec extends SparkTestBase {
       assertPass(fix("named_struct('x', 1, 'y', 2) as o"), c)
       assertViol(fix("named_struct('x', 1, 'y', 2, 'z', 3) as o"), c, ".o",
         "object with no extra fields", "{z}")
-      assertViol(fix("named_struct('x', 1) as o"), c, ".o", "Field `y`",
+      assertViol(fix("named_struct('x', 1) as o"), c, ".o.y", "Field `y`",
         "missing")
     }
   }
@@ -287,14 +291,26 @@ class ContractSemanticsSpec extends SparkTestBase {
   }
 
   // --- rendering (toString parity surface, impl :181-187) ---
-  test("contract renderings are canonical") {
+  test("contract renderings are canonical (reference toString parity)") {
+    // every expected string below was captured by EXECUTING the
+    // reference's toString (see MessageParitySpec for the harness)
     assert(C.and(C.string, C.value("asd")).render ==
-      "and(string, value('asd'))")
-    assert(C.obj("x" -> C.number).strict.render ==
-      "object({x: number}).strict()")
-    assert(C.array(C.oneOf(1, 2)).render == "array(oneOf(1, 2))")
-    assert(C.optional(C.string).render == "optional(string)")
-    assert(C.tuple(C.string, C.number).render == "tuple(string, number)")
-    assert(C.hash(C.bool).render == "hash(bool)")
+      "c.and(c.string, c.value(asd))")
+    // strict() renames the whole contract (contract.impl.js:718)
+    assert(C.obj("x" -> C.number).strict.render == "c.object.strict")
+    assert(C.obj("x" -> C.number).render == "c.object({x: c.number})")
+    assert(C.array(C.oneOf(1, 2)).render == "c.array(c.oneOf(1, 2))")
+    assert(C.optional(C.string).render == "c.optional(c.string)")
+    assert(C.tuple(C.string, C.number).render ==
+      "c.tuple(c.string, c.number)")
+    assert(C.tuple(C.string).strict.render == "c.tuple.strict")
+    assert(C.hash(C.bool).render == "c.hash(c.bool)")
+    // or drops its branches (subToString never overridden, :421)
+    assert(C.or(C.string, C.value(6)).render == "c.or()")
+    assert(C.any.render == "c.any()")
+    assert(C.date.render == "c.Date")
+    assert(C.value(5.0).render == "c.value(5)")
+    assert(C.value(true).render == "c.value(true)")
+    assert(C.array(C.string).rename("strs").render == "c.strs")
   }
 }

@@ -3,6 +3,8 @@ package graft
 import graft.contracts._
 import org.scalacheck.Gen
 
+import org.apache.spark.sql.functions.lit
+
 /** Property-based invariants (SURVEY.md §5.2 #3), batched: each
   * property evaluates MANY generated cases in ONE Spark job (a DataFrame
   * of generated rows), not one job per case — properties stay fast.
@@ -16,13 +18,16 @@ class PropertySpec extends SparkTestBase {
 
   import org.apache.spark.sql.functions._
 
+  private implicit val env: MsgEnv = MsgEnv("data", C.any)
+  private def fr(p: String): Frame = Frame(lit(p), lit(""), lit(""))
+
   private def verdicts(rows: Seq[(Int, java.lang.Long)], c: Contract)
       : Map[Int, Boolean] = {
     import spark.implicits._
     val df = rows.toDF("i", "x")
     val dt = df.schema("x").dataType
     df.select(col("i"),
-        Compiler.firstViol(C.optional(c), dt, col("x"), lit(".x"))
+        Compiler.firstViol(C.optional(c), dt, col("x"), fr(".x"))
           .isNull.as("ok"))
       .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
   }
@@ -55,7 +60,7 @@ class PropertySpec extends SparkTestBase {
     val b = C.pred("b")(c => c % 2 === 0)
     val cc = C.pred("c")(c => c < 40)
     val dt = df.schema("x").dataType
-    def ok(c: Contract) = Compiler.firstViol(c, dt, col("x"), lit("")).isNull
+    def ok(c: Contract) = Compiler.firstViol(c, dt, col("x"), fr("")).isNull
     val rows = df.select(col("x"),
       ok(C.and(a, b, cc)).as("andv"), ok(C.or(a, b, cc)).as("orv"),
       ok(a).as("av"), ok(b).as("bv"), ok(cc).as("cv"),
@@ -83,7 +88,7 @@ class PropertySpec extends SparkTestBase {
       .map { case ((at, xs), i) => (i, at, xs) }.toDF("i", "at", "xs")
     val dt = df.schema("xs").dataType
     val out = df.select(col("i"), col("at"),
-        Compiler.firstViol(C.array(C.value(1)), dt, col("xs"), lit(""))
+        Compiler.firstViol(C.array(C.value(1)), dt, col("xs"), fr(""))
           .getField("path").as("p"))
       .collect()
     out.foreach { r =>
@@ -152,7 +157,7 @@ class PropertySpec extends SparkTestBase {
     val df = Seq((0, nullLong)).toDF("i", "x")
     leaves.foreach { leaf =>
       val v = df.select(Compiler.firstViol(leaf,
-        df.schema("x").dataType, col("x"), lit(".x")).isNull.as("ok"))
+        df.schema("x").dataType, col("x"), fr(".x")).isNull.as("ok"))
         .head().getBoolean(0)
       assert(!v, s"${leaf.render} must reject null")
     }

@@ -94,7 +94,9 @@ class SurfaceSpec extends SparkTestBase {
     Compiler.setErrorMessageInspectionDepth(1)
     try {
       val capped = firstViol(deep, c).get.getAs[String]("got")
-      assert(capped == "{ a: [Object] }")
+      // util.inspect depth semantics: depth 1 recurses one level BELOW
+      // the top (node: inspect({a:{b:{c:5}}}, false, 1) = this string)
+      assert(capped == "{ a: { b: [Object] } }")
     } finally Compiler.setErrorMessageInspectionDepth(5)
   }
 
@@ -125,8 +127,10 @@ class SurfaceSpec extends SparkTestBase {
     val e = intercept[ContractViolationException](
       Validate.checkOrThrow(bad, c, "id", "gate"))
     assert(e.path == ".x" && e.docId == "2")
+    // reference-format multi-line message (see MessageParitySpec)
     assert(e.getMessage.startsWith(
-      "check on `gate` failed: Expected oneOf('a', 'b'), but got 'z'"))
+      "check on `gate` failed:\nExpected oneOf(a, b), but got 'z'\n" +
+      "for the field `x` of the object\n"))
   }
 
   // --- task-partition summary ---
