@@ -16,6 +16,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Oracle staging area: queries persist their deterministic generated
+    * inputs / intermediates (generated span table, LSH buckets, simhash
+    * signatures, IVF centroids, media payloads) here so the driver's
+    * DuckDB oracle can read the SAME bytes and replay the semantics in
+    * SQL — turning hash-based operators into hard-checked ones. */
+  val genDir = "/tmp/graft_gen"
+
+  /** stage the generated span-document table (+ media catalog) and read
+    * it back, so query lineage and oracle consume identical bytes. */
+  private def stagedSpanDocs(s: SparkSession): (DataFrame, DataFrame) = {
+    gen.SpanGen.docs(s, 20000, 32,
+      defects = gen.SpanGen.Defects(nullKind = true, badKind = true,
+        textOnMedia = true, danglingRef = true, dupDocId = true,
+        negOffset = true, badRef = true, rate = 200, hotKeyEvery = 500),
+      withRowId = true)
+      .write.mode("overwrite").parquet(s"$genDir/span_docs")
+    gen.SpanGen.media(s, 10000)
+      .write.mode("overwrite").parquet(s"$genDir/media_catalog")
+    (s.read.parquet(s"$genDir/span_docs"),
+      s.read.parquet(s"$genDir/media_catalog"))
+  }
+
   /** Policy contract for the driver `documents` table — exercises the
     * object/field machinery: required fields, integer refinement, enum
     * (oneOf), regex (matches), and() chains with range + cross-field
@@ -74,19 +96,26 @@ object SparkEntry {
         .orderBy("bucket")),
 
     // flagship span-document validation (input_hint schema): generated
-    // deterministic table + media catalog, full validation pass
-    // (contract + uniqueness + referential), per-check violation counts.
-    // Not SQL-expressible over the driver tables → rows-only check.
+    // deterministic table + media catalog (STAGED for the oracle), full
+    // validation pass (contract via the SpanCheck fast path + uniqueness
+    // + referential), per-check violation counts — the DuckDB oracle
+    // replays the whole rule over the staged parquet.
     "span_validate" -> ((s, dir) => {
-      val docs = gen.SpanGen.docs(s, 20000, 32,
-        defects = gen.SpanGen.Defects(nullKind = true, badKind = true,
-          textOnMedia = true, danglingRef = true, dupDocId = true,
-          negOffset = true, rate = 200, hotKeyEvery = 500))
-      val media = gen.SpanGen.media(s, 10000)
+      val (docs, media) = stagedSpanDocs(s)
       SpanDocs.validateAll(docs, media)
-        .groupBy(substring(col("expected"), 1, 40).as("check"))
+        .groupBy(col("expected").as("check"))
         .agg(count(lit(1)).as("n_violations"))
         .orderBy("check")
+    }),
+
+    // nested-shape contracts through the GENERIC compiler: per-row first
+    // violation (array/or/object recursion, [i] frames) over the staged
+    // span table — keyed by row_id so duplicated doc_ids stay distinct.
+    "v_spans_nested" -> ((s, dir) => {
+      val (docs, _) = stagedSpanDocs(s)
+      Validate.violations(docs, SpanDocs.contract, "row_id", "docs")
+        .select("doc_id", "path", "expected", "got")
+        .orderBy("doc_id")
     }),
 
     // classic aggregation sanity (integer-valued sums only)
@@ -119,10 +148,12 @@ object SparkEntry {
           "doc_id", "text", n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup pairs (banded Hamming) — hash-based → rows-only
+    // SimHash near-dup pairs: banded join is COMPLETE for Hamming <= 3
+    // (pigeonhole over 4x16-bit bands), so the oracle's all-pairs
+    // Hamming join over the staged signatures must match exactly.
     "dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(t(s, dir, "documents"),
-          "doc_id", "text", maxHamming = 3)
+          "doc_id", "text", maxHamming = 3, stagingDir = Some(genDir))
         .orderBy("id_a", "id_b")),
 
     // brute-force cosine top-k (exact ANN baseline)
@@ -139,17 +170,22 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
-    // LSH-bucketed ANN (scale path; recall measured in tests) → rows-only
+    // LSH-bucketed ANN (scale path; planes auto-sized from n): bucket
+    // assignments are staged, so the oracle replays candidate-join +
+    // exact cosine + ranking from the same buckets.
     "ann_lsh_topk" -> ((s, dir) =>
       pipeline.Similarity.lshTopK(t(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 3)
+          "vec_id", "embedding", k = 3, stagingDir = Some(genDir))
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id", "rank")),
 
-    // IVF-bucketed ANN (coarse quantizer + nprobe rerank) → rows-only
+    // IVF ANN: seeded k-means quantizer (nCentroids = 0 → √n), trained
+    // centroids staged — the oracle recomputes assignment, probing, and
+    // rerank from them.
     "ann_ivf_topk" -> ((s, dir) =>
       pipeline.Similarity.ivfTopK(t(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 3, nCentroids = 12, nProbe = 5)
+          "vec_id", "embedding", k = 3, nCentroids = 0, nProbe = 5,
+          stagingDir = Some(genDir))
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id", "rank")),
 
@@ -177,11 +213,14 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("id")),
 
-    // multimodal: payload attach + batched stub decode → rows-only
+    // multimodal: payload attach + batched stub decode. Payloads are
+    // staged; the stub's fake dimensions are modular arithmetic over the
+    // byte length, so the oracle recomputes them from octet_length.
     "mm_features" -> ((s, dir) => {
-      val media = gen.SpanGen.media(s, 2000)
-      val feats = pipeline.Multimodal.extractFeatures(
-        pipeline.Multimodal.withPayload(media))
+      pipeline.Multimodal.withPayload(gen.SpanGen.media(s, 2000))
+        .write.mode("overwrite").parquet(s"$genDir/media_payload")
+      val media = s.read.parquet(s"$genDir/media_payload")
+      val feats = pipeline.Multimodal.extractFeatures(media)
       feats.toDF()
         .groupBy("mime")
         .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"),
@@ -221,11 +260,13 @@ object SparkEntry {
           .as("price"))
         .limit(100)),
 
-    // distribution drift between two event types (KLL sketch + KS/PSI)
-    // → rows-only (sketch-based)
+    // distribution drift between two event types. The driver query runs
+    // the EXACT-audit mode (same KS/PSI definitions, exact grid CDFs —
+    // SQL-replicable); the mergeable KLL-sketch path is the 100 TB mode,
+    // held to the exact one by the sketch-fidelity ScalaTest.
     "drift_events_value" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      engine.Drift.check(
+      engine.Drift.checkExact(
         ev.where(col("event_type") === "view"),
         ev.where(col("event_type") === "purchase"), "value")(s)
         .withColumn("ks", round(col("ks"), 4))
@@ -497,5 +538,221 @@ object SparkEntry {
         |      (((u.i - 1) % 97) + 1)) AS BIGINT)
         |   FROM (SELECT unnest(range(1, length(text) + 1)) AS i) u)
         |    AS fingerprint
-        |FROM documents ORDER BY id""".stripMargin)
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // ---- oracles over STAGED deterministic inputs (/tmp/graft_gen):
+    // the query persisted its generated table / intermediate state as
+    // parquet; the oracle replays the operator's semantics from those
+    // bytes in pure SQL.
+
+    // full north-rule replay: span-shape or-contract + monotone offsets
+    // + doc_id uniqueness + media_ref referential, counted per check.
+    "span_validate" ->
+      """WITH docs AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/span_docs/*.parquet')),
+        |media AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/media_catalog/*.parquet')),
+        |sp AS (
+        |  SELECT row_id, spans[i].kind AS kind, spans[i].text AS text,
+        |    spans[i].media_ref AS media_ref, spans[i]['offset'] AS off, i
+        |  FROM (SELECT row_id, spans,
+        |          unnest(range(1, len(spans) + 1)) AS i FROM docs) t),
+        |bad AS (
+        |  SELECT row_id FROM sp
+        |  WHERE NOT COALESCE(
+        |    (kind = 'text' AND text IS NOT NULL AND media_ref IS NULL
+        |      AND off IS NOT NULL AND off >= 0)
+        |    OR (kind IN ('image','audio','video') AND text IS NULL
+        |      AND media_ref IS NOT NULL
+        |      AND regexp_matches(media_ref, '^media-[0-9]+$')
+        |      AND off IS NOT NULL AND off >= 0), FALSE)
+        |  GROUP BY row_id),
+        |mono AS (
+        |  SELECT row_id FROM (
+        |    SELECT row_id, spans, unnest(range(2, len(spans) + 1)) AS i
+        |    FROM docs) t
+        |  WHERE COALESCE(spans[i]['offset'] <= spans[i-1]['offset'], TRUE)
+        |  GROUP BY row_id),
+        |counts AS (
+        |  SELECT 'none of the contracts passed' AS chk,
+        |    (SELECT count(*) FROM bad) AS n_violations
+        |  UNION ALL
+        |  SELECT 'strictly increasing offsets',
+        |    (SELECT count(*) FROM mono
+        |     WHERE row_id NOT IN (SELECT row_id FROM bad))
+        |  UNION ALL
+        |  SELECT 'unique `doc_id`', COALESCE((
+        |    SELECT CAST(sum(c) AS BIGINT) FROM (
+        |      SELECT count(*) AS c FROM docs GROUP BY doc_id
+        |      HAVING count(*) > 1)), 0)
+        |  UNION ALL
+        |  SELECT '`media_ref` present in catalog',
+        |    (SELECT count(*) FROM sp WHERE media_ref IS NOT NULL
+        |     AND media_ref NOT IN (SELECT media_id FROM media)))
+        |SELECT chk AS "check", n_violations FROM counts
+        |WHERE n_violations > 0 ORDER BY "check"""".stripMargin,
+
+    // generic-compiler nested shapes: first failing span per row with
+    // path frame and the rendered span struct as `got`.
+    "v_spans_nested" ->
+      """WITH docs AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/span_docs/*.parquet')),
+        |sp AS (
+        |  SELECT row_id, spans[i].kind AS kind, spans[i].text AS text,
+        |    spans[i].media_ref AS media_ref, spans[i]['offset'] AS off, i
+        |  FROM (SELECT row_id, spans,
+        |          unnest(range(1, len(spans) + 1)) AS i FROM docs) t),
+        |bad AS (
+        |  SELECT * FROM sp
+        |  WHERE NOT COALESCE(
+        |    (kind = 'text' AND text IS NOT NULL AND media_ref IS NULL
+        |      AND off IS NOT NULL AND off >= 0)
+        |    OR (kind IN ('image','audio','video') AND text IS NULL
+        |      AND media_ref IS NOT NULL
+        |      AND regexp_matches(media_ref, '^media-[0-9]+$')
+        |      AND off IS NOT NULL AND off >= 0), FALSE)),
+        |fb AS (
+        |  SELECT row_id, min(i) AS i FROM bad GROUP BY row_id)
+        |SELECT CAST(b.row_id AS VARCHAR) AS doc_id,
+        |  '.spans[' || (b.i - 1) || ']' AS path,
+        |  'none of the contracts passed' AS expected,
+        |  '{ kind: ' ||
+        |    CASE WHEN b.kind IS NULL THEN 'null'
+        |         ELSE '''' || b.kind || '''' END ||
+        |  ', text: ' ||
+        |    CASE WHEN b.text IS NULL THEN 'null'
+        |         ELSE '''' || b.text || '''' END ||
+        |  ', media_ref: ' ||
+        |    CASE WHEN b.media_ref IS NULL THEN 'null'
+        |         ELSE '''' || b.media_ref || '''' END ||
+        |  ', offset: ' ||
+        |    CASE WHEN b.off IS NULL THEN 'null'
+        |         ELSE CAST(b.off AS VARCHAR) END || ' }' AS got
+        |FROM fb JOIN bad b ON b.row_id = fb.row_id AND b.i = fb.i
+        |ORDER BY doc_id""".stripMargin,
+
+    // banded simhash output must equal the exact all-pairs Hamming join
+    // over the staged signatures (banding is complete for <= 3 flips).
+    "dedup_simhash" ->
+      """WITH s AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/simhash_sigs/*.parquet'))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // LSH ANN: candidates from the staged bucket assignments, exact
+    // cosine rerank over the embeddings table, same total order.
+    "ann_lsh_topk" ->
+      """WITH bk AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/lsh_buckets/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS id, y.id AS neighbor
+        |  FROM bk x JOIN bk y
+        |    ON x.t = y.t AND x.b = y.b AND x.id <> y.id),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(list_apply(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT c.id, c.neighbor,
+        |    list_aggregate(list_apply(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM cand c JOIN v a ON a.vec_id = c.id
+        |    JOIN v b ON b.vec_id = c.neighbor),
+        |ranked AS (
+        |  SELECT id, neighbor, cosine, row_number() OVER (
+        |    PARTITION BY id ORDER BY cosine DESC, neighbor ASC) AS rank
+        |  FROM scored)
+        |SELECT id, rank, neighbor, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+
+    // IVF ANN: assignment/probing replayed from the staged k-means
+    // centroids (score = dot, ties broken toward the higher centroid id
+    // — matching the reverse(array_sort(struct(s, c))) compile).
+    "ann_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/ivf_centroids/*.parquet')),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(list_apply(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings),
+        |scores AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_aggregate(list_apply(list_zip(v.embedding, c.vec),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') AS s,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_aggregate(list_apply(
+        |        list_zip(v.embedding, c.vec),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |        DESC, c.cid DESC) AS r
+        |  FROM v, cents c),
+        |assigned AS (SELECT vec_id, cid AS bucket FROM scores WHERE r = 1),
+        |probes AS (SELECT vec_id, cid AS bucket FROM scores WHERE r <= 5),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS id, x.vec_id AS neighbor
+        |  FROM probes q JOIN assigned x ON q.bucket = x.bucket
+        |  WHERE q.vec_id <> x.vec_id),
+        |scored AS (
+        |  SELECT c.id, c.neighbor,
+        |    list_aggregate(list_apply(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM cand c JOIN v a ON a.vec_id = c.id
+        |    JOIN v b ON b.vec_id = c.neighbor),
+        |ranked AS (
+        |  SELECT id, neighbor, cosine, row_number() OVER (
+        |    PARTITION BY id ORDER BY cosine DESC, neighbor ASC) AS rank
+        |  FROM scored)
+        |SELECT id, rank, neighbor, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+
+    // stub decode is modular arithmetic over octet_length — recompute
+    // the per-mime aggregates from the staged payloads.
+    "mm_features" ->
+      """SELECT mime, count(*) AS n,
+        |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+        |  CAST(min(16 + (octet_length(payload) * 7919) % 1024) AS INT)
+        |    AS min_w,
+        |  CAST(max(16 + (octet_length(payload) * 104729) % 1024) AS INT)
+        |    AS max_h
+        |FROM read_parquet('/tmp/graft_gen/media_payload/*.parquet')
+        |GROUP BY mime ORDER BY mime""".stripMargin,
+
+    // exact-audit drift: same KS/PSI definitions as the engine's exact
+    // mode — empirical CDFs on the shared min/max grid of 101 points.
+    "drift_events_value" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |a AS (SELECT v FROM ev WHERE event_type = 'view'),
+        |b AS (SELECT v FROM ev WHERE event_type = 'purchase'),
+        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM
+        |  (SELECT v FROM a UNION ALL SELECT v FROM b)),
+        |na AS (SELECT count(*) AS n FROM a),
+        |nb AS (SELECT count(*) AS n FROM b),
+        |grid AS (SELECT i, lo + (hi - lo) * i / 100 AS g
+        |  FROM bounds, (SELECT unnest(range(0, 101)) AS i)),
+        |cdf AS (SELECT i,
+        |    (SELECT count(*) FROM a WHERE v <= g) * 1.0
+        |      / (SELECT n FROM na) AS ca,
+        |    (SELECT count(*) FROM b WHERE v <= g) * 1.0
+        |      / (SELECT n FROM nb) AS cb
+        |  FROM grid),
+        |kss AS (SELECT max(abs(ca - cb)) AS ks FROM cdf),
+        |m AS (SELECT i,
+        |    greatest(ca - lag(ca) OVER (ORDER BY i), 1e-6) AS pa,
+        |    greatest(cb - lag(cb) OVER (ORDER BY i), 1e-6) AS qb
+        |  FROM cdf QUALIFY i > 0),
+        |psis AS (SELECT sum((pa - qb) * ln(pa / qb)) AS psi FROM m)
+        |SELECT 'value' AS "column", round(kss.ks, 4) AS ks,
+        |  round(psis.psi, 4) AS psi,
+        |  (SELECT n FROM na) AS n_baseline,
+        |  (SELECT n FROM nb) AS n_current,
+        |  kss.ks <= 0.1 AND psis.psi <= 0.2 AS pass
+        |FROM kss, psis""".stripMargin)
 }

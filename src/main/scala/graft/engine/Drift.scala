@@ -114,4 +114,46 @@ object Drift {
       r.ks <= ksThreshold && r.psi <= psiThreshold))
       .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
   }
+
+  /** EXACT-audit drift: the same KS/PSI definitions as [[compare]], but
+    * from exact empirical CDFs evaluated on the same min/max grid —
+    * every number is a pure function of counts, so an external SQL
+    * oracle can recompute it bit-for-bit. Cost: one bounds pass plus one
+    * conditional-sum aggregation per side (each a single scan with
+    * map-side partials — still one-pass-per-side at scale, but the grid
+    * comparisons cost gridSize ops/row where the sketch path pays O(1)
+    * amortized; use [[check]] at 100 TB, this for audits/oracles). */
+  def checkExact(baseline: DataFrame, current: DataFrame, colName: String,
+                 gridSize: Int = 101, ksThreshold: Double = 0.1,
+                 psiThreshold: Double = 0.2)
+                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def vals(df: DataFrame) =
+      df.select(col(colName).cast("double").as("v"))
+        .where(col("v").isNotNull)
+    val a = vals(baseline); val b = vals(current)
+    val bounds = a.union(b).agg(min(col("v")), max(col("v"))).head()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val grid = (0 until gridSize)
+      .map(i => lo + (hi - lo) * i / (gridSize - 1)).toArray
+    def cdf(df: DataFrame): (Array[Double], Long) = {
+      val aggs = grid.zipWithIndex.map { case (g, i) =>
+        sum(when(col("v") <= g, 1L).otherwise(0L)).as(s"c$i")
+      } :+ count(lit(1)).as("n")
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(gridSize)
+      ((0 until gridSize).map(i => r.getLong(i).toDouble / n).toArray, n)
+    }
+    val (ca, nA) = cdf(a); val (cb, nB) = cdf(b)
+    val ks = ca.zip(cb).map { case (x, y) => math.abs(x - y) }.max
+    val eps = 1e-6
+    def masses(c: Array[Double]): Array[Double] =
+      (1 until c.length).map(i => math.max(c(i) - c(i - 1), eps)).toArray
+    val ma = masses(ca); val mb = masses(cb)
+    val psi = ma.zip(mb).map { case (p, q) => (p - q) * math.log(p / q) }
+      .sum
+    Seq((colName, ks, psi, nA, nB,
+      ks <= ksThreshold && psi <= psiThreshold))
+      .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
+  }
 }

@@ -41,7 +41,11 @@ object SpanGen {
     * (for the distribution-drift checks). */
   def docs(spark: SparkSession, nDocs: Long, nPartitions: Int = 32,
            seed: Long = 42, nMedia: Long = 10000,
-           defects: Defects = Defects(), drifted: Boolean = false)
+           defects: Defects = Defects(), drifted: Boolean = false,
+           /** adds a `row_id` column (the generator index) — a unique
+             * per-row key even when dup_doc_id planting collides
+             * doc_ids (used by oracle staging) */
+           withRowId: Boolean = false)
       : DataFrame = {
     val base = spark.range(0, nDocs, 1, nPartitions)
     val id = col("id")
@@ -116,7 +120,9 @@ object SpanGen {
         offset.as("offset"))
     })
 
-    base.select(docId.as("doc_id"), spans.as("spans"))
+    if (withRowId)
+      base.select(docId.as("doc_id"), spans.as("spans"), id.as("row_id"))
+    else base.select(docId.as("doc_id"), spans.as("spans"))
   }
 
   /** media catalog — FIXTURES.md §2: media_id PK, mime enum, bytes > 0 */

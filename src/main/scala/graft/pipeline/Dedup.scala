@@ -166,10 +166,24 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 4×16-bit band join (complete for Hamming
-    * distance ≤ 3 by pigeonhole) + exact bit_count verification. */
+    * distance ≤ 3 by pigeonhole: 3 flipped bits touch at most 3 of the
+    * 4 bands, so one band always collides) + exact bit_count
+    * verification — output PROVABLY equals the all-pairs Hamming join.
+    * `stagingDir` persists the signatures so an external oracle can
+    * replay that all-pairs join against the banded output. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simhash64(df, idCol, textCol)
+                   maxHamming: Int = 3,
+                   stagingDir: Option[String] = None): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding is complete only for <= 3")
+    val sh0 = simhash64(df, idCol, textCol)
+    // staged runs read the persisted signatures back so the pair join
+    // and the oracle consume the SAME bytes (and the signature agg runs
+    // once, not once per downstream branch)
+    val sh = stagingDir.map { dir =>
+      sh0.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/simhash_sigs")
+      df.sparkSession.read.parquet(s"$dir/simhash_sigs")
+    }.getOrElse(sh0)
     val banded = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)

@@ -35,14 +35,16 @@ object Multimodal {
   /** ======= STUB ======= deterministic fake decode of one payload.
     * A real implementation would parse the container format and run a
     * decoder here; the signature (bytes in, dims + feature vector out)
-    * is the real contract. */
+    * is the real contract. The fake dimensions are simple modular
+    * arithmetic over the byte length so an external oracle can
+    * recompute them from the staged payloads (octet_length in SQL). */
   private def decodeStub(mime: String, payload: Array[Byte])
       : (Int, Int, Array[Float]) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val w = 16 + math.floorMod(h, 1024)
-    val ht = 16 + math.floorMod(h >> 10, 1024)
+    val len = payload.length
+    val w = 16 + math.floorMod(len * 7919, 1024)
+    val ht = 16 + math.floorMod(len * 104729, 1024)
     val emb = Array.tabulate(8)(i =>
-      (math.floorMod(h * (i + 1), 1000) / 1000.0f))
+      math.floorMod(len * (i + 1) * 131, 1000) / 1000.0f)
     (w, ht, emb)
   }
 

@@ -57,18 +57,97 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
-  /** IVF-style ANN: a coarse quantizer (deterministic centroids — the
-    * `nCentroids` lowest-id vectors; production swaps in k-means
-    * iterations, same plumbing) assigns every vector to its best
+  /** Seeded Lloyd k-means over a bounded sample — the coarse quantizer
+    * trainer for [[ivfTopK]]. Driver-side over at most `sampleN` vectors
+    * (deterministic: lowest-id sample, seeded init), so training cost is
+    * bounded regardless of corpus size; the resulting centroids are
+    * broadcast as literals into the assignment expressions. Uses
+    * spherical k-means (normalize + maximize dot) to match the cosine
+    * metric of the rerank stage. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 8, sampleN: Int = 10000,
+                      seed: Long = 42): Array[Array[Double]] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need >= $k vectors to train $k centroids")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val xs = sample.map(normalize)
+    val dim = xs.head.length
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }; s
+    }
+    val rnd = new scala.util.Random(seed)
+    // k-means++-style seeded init: running min-distance per sample so
+    // init is O(sampleN * k * dim), not O(sampleN * k^2 * dim)
+    val cents = new Array[Array[Double]](k)
+    cents(0) = xs(rnd.nextInt(xs.length))
+    val minD2 = xs.map(x => math.max(1.0 - dotv(cents(0), x), 1e-12))
+    var nc = 1
+    while (nc < k) {
+      val total = minD2.sum
+      var r = rnd.nextDouble() * total; var i = 0
+      while (i < xs.length - 1 && r > minD2(i)) { r -= minD2(i); i += 1 }
+      cents(nc) = xs(i)
+      var j = 0
+      while (j < xs.length) {
+        val d = math.max(1.0 - dotv(cents(nc), xs(j)), 1e-12)
+        if (d < minD2(j)) minD2(j) = d
+        j += 1
+      }
+      nc += 1
+    }
+    var cur = cents
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
+        while (ci < k) {
+          val s = dotv(cur(ci), x)
+          if (s > bestS) { bestS = s; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += x(d); d += 1 }
+      }
+      cur = cur.zipWithIndex.map { case (old, ci) =>
+        if (counts(ci) == 0) old
+        else normalize(sums(ci).map(_ / counts(ci)))
+      }
+    }
+    cur
+  }
+
+  /** IVF-style ANN: a coarse quantizer (seeded k-means over a bounded
+    * sample — [[kmeansCentroids]]) assigns every vector to its best
     * centroid bucket; queries probe their `nProbe` best buckets and
     * exact-cosine-rerank only those candidates. Complements the
     * hyperplane-LSH path: IVF buckets adapt to the data distribution,
-    * LSH needs no training pass. */
+    * LSH needs no training pass. Pass `nCentroids <= 0` for the √n
+    * heuristic (bucket join cost ~ n²/nCentroids·nProbe).
+    * `stagingDir`, when set, persists the trained centroids as parquet
+    * (cid, vec) so an external oracle can replay assignment + probe +
+    * rerank from the same quantizer. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
-              nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
-    val cents = df.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+              nCentroids: Int = 0, nProbe: Int = 3,
+              stagingDir: Option[String] = None): DataFrame = {
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else math.max(4, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+    val cents = kmeansCentroids(df, idCol, vecCol, nc)
+    stagingDir.foreach { dir =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      cents.zipWithIndex.map { case (c, ci) => (ci, c.toSeq) }.toSeq
+        .toDF("cid", "vec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+    }
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     // (score, centroid) per centroid, sorted descending by score
@@ -122,20 +201,41 @@ object Similarity {
     * nTables unions. Defaults favor moderate-similarity neighbors
     * (cos ≈ 0.5); for true near-duplicates (cos > 0.9) even
     * nPlanes = 16 keeps recall ≈ 1 with a handful of tables. */
+  /** `nPlanes <= 0` sizes buckets from the corpus: nPlanes ≈
+    * log2(n / targetBucketSize) with targetBucketSize ≈ 4·k, so expected
+    * bucket size — and with it the candidate-join cost n·bucketSize —
+    * stays constant as n grows (the 100 TB knob; fixed nPlanes would let
+    * buckets grow linearly with n). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
-              dim: Int = 64, nPlanes: Int = 5, nTables: Int = 12,
-              seed: Long = 42): DataFrame = {
-    val ps = planes(nTables, nPlanes, dim, seed)
+              dim: Int = 64, nPlanes: Int = 0, nTables: Int = 12,
+              seed: Long = 42, stagingDir: Option[String] = None)
+      : DataFrame = {
+    val np =
+      if (nPlanes > 0) nPlanes
+      else {
+        val n = df.count().toDouble
+        math.max(4, math.ceil(math.log(n / (4.0 * k)) / math.log(2.0))
+          .toInt)
+      }
+    val ps = planes(nTables, np, dim, seed)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     // candidate pairs are deduped NARROW (ids only) before vectors are
     // re-attached — carrying vectors through the nTables-way bucket join
     // and deduping wide rows shuffles dim×nTables more bytes
-    val bucketed = v.select(col("id"),
+    val bucketed0 = v.select(col("id"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"), bucket(col("vec"), ps(t)).as("b"))): _*))
         .as("tb"))
       .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // staged runs read the persisted buckets back: the self-join and the
+    // oracle consume the same bytes, and the nTables-way projection runs
+    // once instead of once per join side
+    val bucketed = stagingDir.map { dir =>
+      bucketed0.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/lsh_buckets")
+      df.sparkSession.read.parquet(s"$dir/lsh_buckets")
+    }.getOrElse(bucketed0)
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.id") =!= col("y.id"))

@@ -70,6 +70,81 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall@3 = $recall")
   }
 
+  test("IVF at scale: k-means quantizer recall@3 >= 0.9 on clustered " +
+       "vectors; bucket sizes stay balanced") {
+    // 50k vectors in 200 latent clusters (the regime IVF exists for) —
+    // deterministic generation via xxhash-based pseudo-noise
+    import org.apache.spark.sql.functions._
+    val n = 50000L; val dim = 16; val nClusters = 200
+    val base = spark.range(0, n, 1, 8)
+      .withColumn("c", pmod(xxhash64(col("id"), lit(1)), lit(nClusters)))
+    val vec = array((0 until dim).map(d =>
+      (pmod(xxhash64(col("c"), lit(d + 10)), lit(1000)) / lit(500.0) - 1.0
+        + (pmod(xxhash64(col("id"), lit(d + 50)), lit(1000)) / lit(5000.0)
+          - 0.1)).cast("float")): _*)
+    val df = base.select(col("id").as("vec_id"), vec.as("embedding"))
+      .cache()
+    df.count()
+    val approx = Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nCentroids = 0, nProbe = 5) // √n heuristic → ~224 centroids
+      .select("id", "neighbor")
+    // ground truth for a 100-query sample: brute-force against the full
+    // corpus (sampled so the O(n²) baseline stays test-sized)
+    val queries = df.where(pmod(col("vec_id"), lit(500L)) === 0) // 100
+    val truth = queries.as("a").join(df.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id"), col("b.vec_id").as("neighbor"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (Similarity.norm(col("a.embedding")) *
+            Similarity.norm(col("b.embedding")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    val truthSet = truth.withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rank") <= 3).select("id", "neighbor")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qIds = truthSet.map(_._1)
+    val approxSet = approx.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truthSet.count(approxSet.contains).toDouble /
+      truthSet.size
+    assert(recall >= 0.9, s"IVF recall@3 on clustered data = $recall")
+    assert(qIds.nonEmpty)
+    // bucket balance: trained quantizer must not degenerate — max
+    // bucket bounded by a small multiple of the mean assignment
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", 224)
+    val scoreStructs = array(cents.zipWithIndex.map { case (cw, ci) =>
+      struct(Similarity.dot(col("embedding"),
+        array(cw.map(lit): _*)).as("s"), lit(ci).as("c")) }: _*)
+    val bucketCol = element_at(reverse(array_sort(scoreStructs)), 1)
+      .getField("c")
+    val sizes = df.select(bucketCol.as("b")).groupBy("b").count()
+      .collect().map(_.getLong(1))
+    val mean = n.toDouble / 224
+    assert(sizes.max <= 20 * mean,
+      s"degenerate quantizer: max bucket ${sizes.max} vs mean $mean")
+    df.unpersist()
+  }
+
+  test("minhash-LSH oracle precondition: recall == 1 on the driver " +
+       "dataset (sf0.01)") {
+    // the driver's dedup_minhash_lsh oracle asserts LSH == exact join;
+    // that equality requires recall exactly 1 on THAT data. This pins
+    // the precondition so a future data/seed/hash change fails here
+    // (with a clear message) instead of mysteriously in the driver.
+    val d01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d01, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(d01, "doc_id", "text", 3,
+      numHashes = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact,
+      "minhash recall != 1 on sf0.01 — demote the dedup_minhash_lsh " +
+        s"oracle to rows-only (missed: ${(exact -- lsh).size})")
+  }
+
   test("exact dedup groups events records") {
     val events = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
