@@ -29,8 +29,11 @@ object Manifest {
 
   def load(spark: SparkSession, outDir: String): DataFrame = {
     val p = path(outDir)
-    val fs = new java.io.File(p)
-    if (!fs.exists())
+    // existence check through the Hadoop FS — outDir may be HDFS/s3a,
+    // not just a local path
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -51,10 +54,17 @@ object Manifest {
   }
 
   /** append one completed-partition row (atomic enough: parquet append
-    * creates a new file; readers take the union). */
+    * creates a new file; readers take the union). Appends are
+    * serialized under a JVM-wide lock: concurrent partition workers
+    * (Runner) append to the SAME directory, and Hadoop's
+    * FileOutputCommitter stages every job of a path under one shared
+    * `_temporary/0/` — overlapping commits would delete each other's
+    * staging. The lock costs nothing (a manifest row is one tiny file);
+    * the heavy per-partition work stays concurrent. */
+  private val appendLock = new Object
   def append(spark: SparkSession, outDir: String, snapshotId: String,
              partitionId: Int, nChecked: Long, nFailed: Long,
-             fingerprint: Long, seq: Long): Unit = {
+             fingerprint: Long, seq: Long): Unit = appendLock.synchronized {
     import spark.implicits._
     Seq((snapshotId, partitionId, "done", nChecked, nFailed, fingerprint,
       seq))

@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * (the `media_ref` ∈ media-catalog check of BASELINE.json `north_rule`;
   * no reference analog — SURVEY.md §2.9 "joins").
   *
-  * A left-anti join: Catalyst/AQE picks broadcast when the (deduplicated)
-  * key side fits `spark.sql.autoBroadcastJoinThreshold`; callers with a
-  * known-small catalog force it via `broadcastDim = true` so a 100 TB fact
-  * side never shuffles. The dimension is projected to its key column
-  * *before* the join (and distinct-ed) so the broadcast ships only keys.
+  * A left-anti join. Strategy selection is three-valued:
+  * `broadcastDim = None` (default) lets Catalyst/AQE decide from its
+  * size estimate of the deduplicated key projection — the safe default
+  * for arbitrary catalogs (a forced broadcast of a 10⁹-key dimension
+  * OOMs the driver); `Some(true)` forces a broadcast hint for
+  * known-small catalogs so a 100 TB fact side never shuffles;
+  * `Some(false)` forbids it (sort-merge/shuffled-hash), for skew-prone
+  * or barely-fitting dimensions. The dimension is projected to its key
+  * column *before* the join (and distinct-ed) so whatever strategy wins
+  * ships only keys.
   */
 object Referential {
 
@@ -19,16 +24,21 @@ object Referential {
     * `dim.pkCol`. NULL FKs are not violations here (nullability is the
     * object contract's concern — required vs optional). */
   def dangling(fact: DataFrame, fkCol: String, dim: DataFrame,
-               pkCol: String, broadcastDim: Boolean = true): DataFrame = {
+               pkCol: String,
+               broadcastDim: Option[Boolean] = None): DataFrame = {
     val keys0 = dim.select(col(pkCol).as(fkCol)).distinct()
-    val keys = if (broadcastDim) broadcast(keys0) else keys0
+    val keys = broadcastDim match {
+      case Some(true) => broadcast(keys0)
+      case Some(false) => keys0.hint("shuffle_merge")
+      case None => keys0 // AQE decides from its size estimate
+    }
     fact.where(col(fkCol).isNotNull).join(keys, Seq(fkCol), "left_anti")
   }
 
   /** dangling FKs in the violation shape. */
   def violations(fact: DataFrame, fkCol: String, dim: DataFrame,
                  pkCol: String, idCol: String, thing: String = "data",
-                 broadcastDim: Boolean = true): DataFrame =
+                 broadcastDim: Option[Boolean] = None): DataFrame =
     dangling(fact, fkCol, dim, pkCol, broadcastDim)
       .select(
         col(idCol).cast("string").as("doc_id"),

@@ -68,14 +68,21 @@ object Runner {
   }
 
   /** snapshot id = fingerprint of the input file listing (names+sizes) —
-    * the partitioned-Parquet stand-in for an Iceberg snapshot id. */
-  def snapshotId(inputDir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val listing = walk(new java.io.File(s"$inputDir/docs"))
-      .filter(_.getName.endsWith(".parquet"))
-      .map(f => s"${f.getPath}:${f.length}").mkString("\n")
+    * the partitioned-Parquet stand-in for an Iceberg snapshot id.
+    * Resolved through the Hadoop FileSystem API so it works on any
+    * supported store (local, HDFS, s3a), not just java.io paths. */
+  def snapshotId(spark: SparkSession, inputDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$inputDir/docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        files += s"${f.getPath.toUri.getPath}:${f.getLen}"
+    }
+    val listing = files.sorted.mkString("\n")
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(listing).toLong)
   }
@@ -91,37 +98,80 @@ object Runner {
       .register("mediaSpan", SpanDocs.mediaSpan, "media span branch",
         "core")
 
-  /** returns (processed, skipped) partition counts. */
+  /** Returns (processed, skipped) partition counts.
+    *
+    * Per-partition job hygiene: input row count and the content
+    * fingerprint are OBSERVED on the contract-validation branch of the
+    * violations write (one pass — `observe` metrics ride the write job
+    * for free), so each partition costs two jobs (write + small
+    * read-back for the distinct-failing-docs metric) instead of four.
+    * Partitions are processed `spark.graft.runner.concurrency`-way
+    * concurrently (default 4): each is an independent Spark job, so the
+    * scheduler interleaves their stages and a long tail partition no
+    * longer serializes the run. Crash-safety is per partition (outputs
+    * before manifest row), so concurrency does not weaken resume. */
   def run(spark: SparkSession, inputDir: String, outDir: String,
           maxParts: Int = Int.MaxValue): (Int, Int) = {
-    val snap = snapshotId(inputDir)
-    // contract catalog rides with the outputs (idempotent overwrite)
-    val regPath = java.nio.file.Paths.get(outDir, "_registry.json")
-    java.nio.file.Files.createDirectories(regPath.getParent)
-    java.nio.file.Files.writeString(regPath, registry.toManifestJson)
+    import org.apache.hadoop.fs.Path
+    val snap = snapshotId(spark, inputDir)
+    // contract catalog rides with the outputs (idempotent overwrite),
+    // written through the Hadoop FS so outDir may be any store
+    val regPath = new Path(outDir, "_registry.json")
+    val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(regPath, true)
+    try out.write(registry.toManifestJson.getBytes("UTF-8"))
+    finally out.close()
     val docs = spark.read.parquet(s"$inputDir/docs")
     val media = spark.read.parquet(s"$inputDir/media").cache()
     val parts = docs.select("part").distinct().collect()
       .map(_.getInt(0)).sorted
     val done = Manifest.completed(spark, outDir, snap)
-    val pending = parts.filterNot(done)
-    var seq = done.size.toLong
-    pending.take(maxParts).foreach { k =>
-      val slice = docs.where(col("part") === k) // partition-pruned scan
-      val viols = SpanDocs.validateAll(slice, media)
-      viols.write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/violations/part=$k")
-      val counts = slice.agg(count(lit(1))).head().getLong(0)
-      val nFailed = spark.read.parquet(s"$outDir/violations/part=$k")
-        .select("doc_id").distinct().count()
-      // order-independent content fingerprint (xor of row hashes — no
-      // overflow under ANSI, commutative across task orderings)
-      val fp = slice.agg(bit_xor(xxhash64(col("doc_id"),
-        to_json(col("spans"))))).head().getLong(0)
-      Manifest.append(spark, outDir, snap, k, counts, nFailed, fp, seq)
-      seq += 1
+    val pending = parts.filterNot(done).take(maxParts)
+    val seq = new java.util.concurrent.atomic.AtomicLong(done.size.toLong)
+    val conc = spark.conf.getOption("spark.graft.runner.concurrency")
+      .map(_.toInt).getOrElse(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(conc, pending.length max 1)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = pending.toSeq.map { k =>
+      scala.concurrent.Future {
+        val slice = docs.where(col("part") === k) // partition-pruned scan
+        // observe on the contract branch only (it scans every input row
+        // exactly once); uniqueness/referential branches use the raw
+        // slice so metrics are not double-counted
+        val obs = org.apache.spark.sql.Observation(s"part_$k")
+        val observed = slice.observe(obs,
+          count(lit(1)).as("n_checked"),
+          // order-independent content fingerprint (xor of row hashes —
+          // no overflow under ANSI, commutative across task orderings)
+          bit_xor(xxhash64(col("doc_id"), to_json(col("spans"))))
+            .as("fp"))
+        val contractViols = SpanDocs.violationsFast(observed)
+        val uniqViols = Uniqueness.violations(
+          slice.select("doc_id"), "doc_id", "docs")
+        val refs = slice.select(col("doc_id"),
+            explode(col("spans.media_ref")).as("media_ref"))
+          .where(col("media_ref").isNotNull)
+        val refViols = Referential.violations(refs, "media_ref", media,
+          "media_id", "doc_id", "docs", Some(true))
+        val viols = contractViols.unionByName(uniqViols)
+          .unionByName(refViols)
+        viols.write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/violations/part=$k")
+        val metrics = obs.get // metrics from the write job itself
+        val counts = metrics("n_checked").asInstanceOf[Long]
+        val fp = metrics("fp").asInstanceOf[Long]
+        val nFailed = spark.read.parquet(s"$outDir/violations/part=$k")
+          .select("doc_id").distinct().count()
+        Manifest.append(spark, outDir, snap, k, counts, nFailed, fp,
+          seq.getAndIncrement())
+      }
     }
-    val processed = math.min(pending.length, maxParts)
-    (processed, done.size)
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), 24.hours)
+    pool.shutdown()
+    (pending.length, done.size)
   }
 }

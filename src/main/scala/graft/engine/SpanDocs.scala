@@ -115,7 +115,11 @@ object SpanDocs {
     * only (column-pruned scan) and the referential probe explodes only
     * media spans (pruned to spans.media_ref). */
   def validateAll(docs: DataFrame, media: DataFrame,
-                  broadcastCatalog: Boolean = true): DataFrame = {
+                  /** the flagship media catalog is known-small by
+                    * design, so the default forces a broadcast; pass
+                    * None to let AQE size-estimate instead */
+                  broadcastCatalog: Option[Boolean] = Some(true))
+      : DataFrame = {
     val contractViols = violationsFast(docs)
     val uniqViols =
       Uniqueness.violations(docs.select("doc_id"), "doc_id", "docs")

@@ -63,7 +63,12 @@ object Dedup {
     * sets — the output is identical to the naive all-pairs join. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // the grams projection feeds THREE subtrees (inverted index + both
+    // verify joins); without a persist each subtree re-tokenizes and
+    // re-shingles the corpus (~3x the dominant cost). MEMORY_AND_DISK:
+    // spills rather than recomputes at 100 TB partition sizes.
     val docs = withNgrams(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = docs.select(col("id"), explode(col("grams")).as("g"))
     val gramDf = sh.groupBy("g").agg(count(lit(1)).as("df"))
     // per doc: grams sorted by (df, g), keep the prefix
@@ -112,8 +117,11 @@ object Dedup {
     val r = numHashes / bands
     // no size(grams)>0 pre-filter: explode already drops empty-gram docs,
     // and a pushed-down filter would re-expand the whole gram expression
-    // (incl. the split) below the projection — measured 2x cost
+    // (incl. the split) below the projection — measured 2x cost.
+    // persisted: the projection feeds the signature agg AND both verify
+    // joins (see ngramJaccardPairs note).
     val docs = withNgrams(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // minhashes via explode + aggregation, NOT array HOFs: HOF lambdas
     // are interpreted (CodegenFallback, per-element boxing) while
     // min(xxhash64(g, s)) aggregates are whole-stage-codegen'd. Spark's

@@ -56,6 +56,42 @@ class SurfaceSpec extends SparkTestBase {
     assert(r.toMarkdown.contains("`spanDoc`"))
   }
 
+  test("publish wrapAll: members enforce their contract at call time") {
+    val r = new ContractRegistry("graft.test2")
+    r.register("gate", C.obj("x" -> C.oneOf("a", "b")), "input gate")
+    val api = graft.engine.Publish.wrapAll(r, "id")(Map(
+      "gate" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("y", lit(1)))))
+    val good = fix("'a' as x").withColumn("id", lit(1))
+    assert(api("gate")(good).columns.contains("y"))
+    val bad = fix("'z' as x").withColumn("id", lit(2))
+    val e = intercept[graft.engine.ContractViolationException](
+      api("gate")(bad).collect())
+    assert(e.getMessage.startsWith("check on `gate` failed:"))
+    // non-object contracts cannot bind rows → rejected at publish time
+    val r2 = new ContractRegistry("graft.test3")
+    r2.register("leaf", C.string)
+    intercept[ContractLibraryError](
+      graft.engine.Publish.wrapAll(r2, "id")(Map(
+        "leaf" -> ((df: org.apache.spark.sql.DataFrame) => df))))
+  }
+
+  test("referential: default lets AQE choose (no forced broadcast hint)") {
+    val fact = fix("1 as fk").withColumn("id", lit(1))
+    val dim = spark.range(0, 10).selectExpr("id as pk")
+    val auto = graft.engine.Referential.dangling(fact, "fk", dim, "pk")
+    val hints = auto.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "default must not force a broadcast hint")
+    val forced = graft.engine.Referential.dangling(fact, "fk", dim, "pk",
+      Some(true))
+    val fhints = forced.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(fhints.nonEmpty, "Some(true) must force the broadcast hint")
+  }
+
   // --- forwardRef (contract.impl.js:484-511) ---
   test("forwardRef: self-referential contract bounded by schema depth") {
     val ref = C.forwardRef()
