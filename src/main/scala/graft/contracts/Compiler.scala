@@ -175,6 +175,50 @@ object Compiler {
     concat(head, frames, full)
   }
 
+  /** Fail condition for LEAF (scalar) nodes: TRUE when the value
+    * violates, never-true/null-safe composed so `!cond` is the pass
+    * verdict. None for shapes/combinators (they recurse). Single source
+    * of truth shared by [[firstViol]] (wraps `when(cond, viol)`) and the
+    * codegen verdict compiler (graft.functions.VerdictCompiler negates
+    * it in generated code). */
+  def leafFail(c: Contract, dt: DataType, col: Column): Option[Column] =
+    c match {
+      case AnyC => Some(lit(false))
+      case NothingC => Some(lit(true))
+      case StringC => Some(gateFail(dt == StringType, col))
+      case NumberC => Some(gateFail(isNumeric(dt), col))
+      case BoolC => Some(gateFail(dt == BooleanType, col))
+      case DateC => Some(gateFail(dt == DateType || dt == TimestampType ||
+        dt == TimestampNTZType, col))
+      case IntegerC => Some(dt match {
+        case t if isIntegral(t) => col.isNull
+        case DoubleType | FloatType =>
+          col.isNull || isnan(col) || floor(col) =!= col
+        case _: DecimalType => col.isNull || floor(col) =!= col
+        case _ => lit(true)
+      })
+      case ValueC(v) =>
+        Some(if (comparable(dt, v)) !(col <=> lit(v)) else lit(true))
+      case OneOfC(vs) =>
+        Some(if (vs.forall(comparable(dt, _)))
+          col.isNull || !coalesce(col.isin(vs: _*), lit(false))
+        else lit(true))
+      case FalsyC => Some(!isFalsy(dt, col))
+      case TruthyC => Some(isFalsy(dt, col))
+      case MatchesC(re) => Some(dt match {
+        case StringType => col.isNull || !coalesce(col.rlike(re), lit(false))
+        case _ => lit(true)
+      })
+      case PredC(_, fn) => Some(!coalesce(fn(col), lit(false)))
+      case PredUdfC(_, fn) =>
+        val u = udf((v: Any) => fn(v))
+        Some(!coalesce(u(col), lit(false)))
+      case _ => None // shapes / combinators recurse
+    }
+
+  private def gateFail(typeOk: Boolean, col: Column): Column =
+    if (typeOk) col.isNull else lit(true)
+
   /** first-violation expression for contract `c` over column `col` of
     * static type `dt` at frame `f`. */
   def firstViol(c: Contract, dt: DataType, col: Column, f: Frame)
@@ -197,64 +241,17 @@ object Compiler {
         // null short-circuits the whole check (contract.impl.js:31-32)
         when(col.isNotNull, firstViol(inner, dt, col, f))
 
-      case StringC => typeGate(dt == StringType, "string", dt, col, f)
-
-      case NumberC => typeGate(isNumeric(dt), "number", dt, col, f)
-
-      case BoolC => typeGate(dt == BooleanType, "bool", dt, col, f)
-
-      // reference name is 'Date' (contract.impl.js:346)
-      case DateC => typeGate(dt == DateType || dt == TimestampType ||
-        dt == TimestampNTZType, "Date", dt, col, f)
-
-      case IntegerC => dt match {
-        // Math.floor(v) === v (contract.impl.js:334-337); NaN explicitly
-        // rejected (JS NaN !== NaN; Spark treats NaN = NaN as TRUE).
-        case t if isIntegral(t) =>
-          when(col.isNull, viol(f, "integer", lit("null")))
-        case DoubleType | FloatType =>
-          when(col.isNull || isnan(col) || floor(col) =!= col,
-            viol(f, "integer", render(dt, col)))
-        case _: DecimalType =>
-          when(col.isNull || floor(col) =!= col,
-            viol(f, "integer", render(dt, col)))
-        case _ => viol(f, "integer", render(dt, col))
-      }
-
-      case ValueC(v) =>
-        if (comparable(dt, v))
-          when(!(col <=> lit(v)), viol(f, c.name, render(dt, col)))
-        else viol(f, c.name, render(dt, col))
-
-      case OneOfC(vs) =>
-        if (vs.forall(comparable(dt, _)))
-          when(col.isNull || !coalesce(col.isin(vs: _*), lit(false)),
-            viol(f, c.name, render(dt, col)))
-        else viol(f, c.name, render(dt, col))
-
-      case FalsyC =>
-        when(!isFalsy(dt, col), viol(f, "falsy", render(dt, col)))
-
-      case TruthyC =>
-        when(isFalsy(dt, col), viol(f, "truthy", render(dt, col)))
-
-      case MatchesC(re) => dt match {
-        // string gate first; null fails — no coercion
-        // (contract.spec.js:178-180)
-        case StringType =>
-          when(col.isNull || !coalesce(col.rlike(re), lit(false)),
-            viol(f, c.name, render(dt, col)))
-        case _ => viol(f, c.name, render(dt, col))
-      }
-
-      case PredC(_, fn) =>
-        when(!coalesce(fn(col), lit(false)),
-          viol(f, c.name, render(dt, col)))
-
-      case PredUdfC(_, fn) =>
-        val u = udf((v: Any) => fn(v))
-        when(!coalesce(u(col), lit(false)),
-          viol(f, c.name, render(dt, col)))
+      // scalar leaves: the fail condition comes from leafFail (shared
+      // with the codegen verdict compiler); expected = contractName,
+      // got = rendered value ("null" when null). Semantics per node —
+      // integer: Math.floor(v) === v, NaN rejected (contract.impl.js:
+      // 334-337); matches: string gate first, null fails without
+      // coercion (contract.spec.js:178-180); Date name is capital-D
+      // (contract.impl.js:346).
+      case StringC | NumberC | BoolC | DateC | IntegerC | _: ValueC |
+           _: OneOfC | FalsyC | TruthyC | _: MatchesC | _: PredC |
+           _: PredUdfC =>
+        when(leafFail(c, dt, col).get, viol(f, c.name, render(dt, col)))
 
       case AndC(branches, silent) =>
         // in order, fail on first (contract.impl.js:384-410); non-silent
@@ -497,11 +494,6 @@ object Compiler {
       case _ => coalesce(live: _*)
     }
   }
-
-  private def typeGate(ok: Boolean, name: String, dt: DataType, col: Column,
-                       f: Frame): Column =
-    if (ok) when(col.isNull, viol(f, name, lit("null")))
-    else viol(f, name, render(dt, col))
 
   private def isNumeric(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |

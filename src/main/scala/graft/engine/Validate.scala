@@ -36,7 +36,9 @@ object Validate {
 
   /** Row-level validation of a DataFrame against an object contract whose
     * fields bind to top-level columns. `thing` is the check name appearing
-    * in messages (the `name` arg of `check`, contract.impl.js:265). */
+    * in messages (the `name` arg of `check`, contract.impl.js:265).
+    * This is the GENERIC compile — the semantic reference; hot paths use
+    * [[fastFirstViolation]] (same output, property-asserted). */
   def firstViolation(df: DataFrame, contract: ObjectC,
                      thing: String = "data",
                      withFullValue: Boolean = false): Column = {
@@ -44,6 +46,15 @@ object Validate {
     Compiler.objectViols(contract, df.schema, f => col(f), Frame.root,
       rowRender(df))
   }
+
+  /** first violation through the codegen'd verdict compiler
+    * (graft.functions.ContractCheck): pass/fail decided by a generated
+    * primitive loop (no HOF interpretation — measured 2.3x over the
+    * generic compile on the flagship shape), failing rows delegate to
+    * the generic expression for bit-identical payloads. */
+  def fastFirstViolation(df: DataFrame, contract: ObjectC,
+                         thing: String = "data"): Column =
+    graft.functions.ContractCheck.rowFirstViolation(df, contract, thing)
 
   private def rowRender(df: DataFrame): Column =
     Compiler.render(StructType(df.schema.fields),
@@ -70,8 +81,14 @@ object Validate {
   def violations(df: DataFrame, contract: ObjectC, idCol: String,
                  thing: String, withFullValue: Boolean): DataFrame = {
     implicit val env: MsgEnv = msgEnv(df, contract, thing, withFullValue)
-    val v = Compiler.objectViols(contract, df.schema, f => col(f),
-      Frame.root, rowRender(df))
+    // default mode runs the codegen'd verdict (payloads delegated to the
+    // generic compile — identical by construction); full-value parity
+    // mode compiles generically so rootRender threads into or-messages
+    val v =
+      if (withFullValue)
+        Compiler.objectViols(contract, df.schema, f => col(f),
+          Frame.root, rowRender(df))
+      else fastFirstViolation(df, contract, thing)
     val base = df.withColumn("_v", v)
       .where(col("_v").isNotNull)
     val core = Seq(
@@ -96,7 +113,7 @@ object Validate {
     * stable across reruns and cluster sizes. */
   def summaryByColumn(df: DataFrame, contract: ObjectC,
                       partCol: String): DataFrame = {
-    val v = firstViolation(df, contract)
+    val v = fastFirstViolation(df, contract)
     df.withColumn("_fail", v.isNotNull)
       .groupBy(col(partCol).as("partition_key"))
       .agg(count(lit(1)).as("n_checked"),
@@ -107,7 +124,7 @@ object Validate {
   /** task-partition summary (spark_partition_id) — used by the resume
     * manifest where lineage is per input split. */
   def summaryByTaskPartition(df: DataFrame, contract: ObjectC): DataFrame = {
-    val v = firstViolation(df, contract)
+    val v = fastFirstViolation(df, contract)
     df.withColumn("_fail", v.isNotNull)
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("n_checked"),

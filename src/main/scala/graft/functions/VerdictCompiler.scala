@@ -1,0 +1,276 @@
+package graft.functions
+
+import graft.contracts._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** A verdict program: the PASS/FAIL half of a contract compiled against
+  * a concrete schema, as a serializable tree that
+  * [[graft.functions.ContractCheck]] can both interpret and compile to
+  * a tight Java loop (doGenCode per node).
+  *
+  * Why this exists: the generic [[graft.contracts.Compiler]] expresses
+  * shape recursion with higher-order functions (`transform`,
+  * `map_entries`), which Spark evaluates interpreted (CodegenFallback,
+  * per-element boxing) — measured ~20x slower than a hand-written loop
+  * on the flagship span shape. The verdict program generates that loop
+  * for EVERY contract: shapes become primitive `for` loops over
+  * ArrayData/InternalRow, scalar leaves inline the SAME fail conditions
+  * the generic compiler uses ([[Compiler.leafFail]] — single source of
+  * truth), and only leaves whose condition genuinely cannot be
+  * code-generated (e.g. a pred built from HOF folds) fall back to an
+  * embedded interpreted eval. Violation payloads are NOT built here: on
+  * failure the caller delegates the row to the unchanged generic
+  * expression, so payloads stay bit-identical (asserted by the
+  * fast-vs-generic property test).
+  */
+sealed trait VNode extends Serializable
+object VNode {
+  /** value always passes (any) */
+  case object PassAlways extends VNode
+  /** value always fails (nothing; schema-contradicted gates;
+    * schema-missing required fields; strict extras) */
+  case object FailAlways extends VNode
+  /** scalar leaf: codegen-able fail condition bound to slot 0 */
+  final case class Leaf(fail: Expression) extends VNode
+  /** fail condition containing CodegenFallback subtrees (HOF preds):
+    * evaluated interpreted against a one-slot row */
+  final case class Fallback(fail: Expression) extends VNode
+  /** optional: null passes, else inner */
+  final case class Opt(inner: VNode) extends VNode
+  final case class AndN(items: Seq[VNode]) extends VNode
+  final case class OrN(items: Seq[VNode]) extends VNode
+  /** homogeneous array: null fails; every element must pass */
+  final case class Arr(elem: VNode, et: DataType) extends VNode
+  /** tuple over ArrayType: size gate, positional checks, strict cap */
+  final case class TupArr(items: Seq[VNode], et: DataType,
+                          strict: Boolean) extends VNode
+  /** one declared object field bound to a struct ordinal */
+  final case class Field(ordinal: Int, dt: DataType, optional: Boolean,
+                         inner: VNode) extends VNode
+  /** object over StructType: null fails; fields in declaration order */
+  final case class Obj(fields: Seq[Field]) extends VNode
+  /** hash: null fails; every map VALUE must pass */
+  final case class MapVals(value: VNode, vt: DataType) extends VNode
+  /** fail condition over the ROOT row value (slot 0 = the whole row):
+    * the escape hatch for cross-field predicates — a leaf that
+    * references sibling columns (`n_chars = length(text)`) cannot bind
+    * to its own value alone, so its entire top-level field check is
+    * evaluated against the root row instead. */
+  final case class RowFallback(fail: Expression) extends VNode
+}
+
+object VerdictCompiler {
+  import VNode._
+
+  /** signals a leaf predicate that references columns outside its own
+    * value (cross-field) — the row-level builder catches it and wraps
+    * the whole top-level field as a [[VNode.RowFallback]]. */
+  private class CrossFieldPred(val cause: Throwable)
+      extends RuntimeException(cause)
+
+  /** compile a ROW-level contract: like the ObjectC case of [[build]],
+    * but each top-level field that contains a cross-field predicate is
+    * compiled as a RowFallback over the full row (single-field generic
+    * first-violation, bound to the row struct). */
+  def buildRow(o: ObjectC, rowType: StructType)
+              (implicit spark: SparkSession): VNode = {
+    val extra =
+      o.isStrict && rowType.fieldNames.exists(!o.fields.keySet(_))
+    val missingRequired = o.fields.exists { case (fname, fc) =>
+      !rowType.fieldNames.contains(fname) && !isOptional(fc)
+    }
+    if (extra || missingRequired) FailAlways
+    else Obj(o.fields.toSeq.flatMap { case (fname, fc) =>
+      val ord = rowType.fieldNames.indexOf(fname)
+      if (ord < 0) None
+      else {
+        val fdt = rowType.fields(ord).dataType
+        val opt = isOptional(fc)
+        try {
+          val inner =
+            if (opt) build(peel(fc), fdt) else build(fc, fdt)
+          Some(Field(ord, fdt, opt, inner))
+        } catch {
+          case _: CrossFieldPred =>
+            // whole field check (required gate + inner contract) over
+            // the row — cross-field references resolve against siblings
+            implicit val env: MsgEnv = MsgEnv("data", o)
+            val cond = Compiler.objectViols(
+              graft.contracts.C.obj(fname -> fc), rowType,
+              f => col(f), Frame.root, Compiler.render(rowType,
+                org.apache.spark.sql.functions.struct(
+                  rowType.fieldNames.map(col).toIndexedSeq: _*)))
+              .isNotNull
+            val probe = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              rowType)
+            // ordinal -1: row-scoped — the Obj evaluator hands the
+            // ROOT row to the inner RowFallback (required gate and all
+            // semantics live inside the compiled condition)
+            Some(Field(-1, fdt, optional = false,
+              RowFallback(bindRowProbe(probe.select(cond.as("c")),
+                rowType))))
+        }
+      }
+    })
+  }
+
+  /** compile (contract, schema) to a verdict program. Driver-side:
+    * leaf conditions are analyzed through a probe projection and bound
+    * to BoundReference(0) so they serialize to executors. */
+  def build(c: Contract, dt: DataType)
+           (implicit spark: SparkSession): VNode = c match {
+    case AnyC => PassAlways
+    case Renamed(inner, _) => build(inner, dt)
+    case fr: ForwardRefC => build(fr.resolved, dt)
+    case OptionalC(inner) => Opt(build(inner, dt))
+    case AndC(branches, _) => AndN(branches.map(build(_, dt)))
+    case OrC(branches) => OrN(branches.map(build(_, dt)))
+    case ArrayC(item) => dt match {
+      case ArrayType(et, _) => Arr(build(item, et), et)
+      case _ => FailAlways
+    }
+    case TupleC(items, strict) => dt match {
+      case ArrayType(et, _) => TupArr(items.map(build(_, et)), et, strict)
+      case StructType(sfs) =>
+        if (sfs.length < items.size) FailAlways
+        else {
+          val fields = items.zipWithIndex.map { case (ic, i) =>
+            Field(i, sfs(i).dataType, optional = false,
+              buildFieldInner(ic, sfs(i).dataType))
+          }
+          if (strict && sfs.length > items.size) FailAlways
+          else Obj(fields)
+        }
+      case _ => FailAlways
+    }
+    case HashC(valueC) => dt match {
+      case MapType(_, vt, _) => MapVals(build(valueC, vt), vt)
+      case _ => FailAlways
+    }
+    case o: ObjectC => dt match {
+      case st: StructType =>
+        val extra =
+          o.isStrict && st.fieldNames.exists(!o.fields.keySet(_))
+        val missingRequired = o.fields.exists { case (fname, fc) =>
+          !st.fieldNames.contains(fname) && !isOptional(fc)
+        }
+        if (extra || missingRequired) FailAlways
+        else Obj(o.fields.toSeq.flatMap { case (fname, fc) =>
+          val ord = st.fieldNames.indexOf(fname)
+          if (ord < 0) None // optional + schema-missing: passes
+          else {
+            val fdt = st.fields(ord).dataType
+            val opt = isOptional(fc)
+            val inner = if (opt) buildFieldInner(peel(fc), fdt)
+                        else buildFieldInner(fc, fdt)
+            Some(Field(ord, fdt, opt, inner))
+          }
+        })
+      case _ =>
+        // object over MapType (dynamic rows) or a mismatched type:
+        // verdict via the generic first-violation (interpreted) — rare
+        // and never on the hot row-struct path
+        fallbackFor(c, dt)
+    }
+    case leaf =>
+      val probe = probeDf(dt)
+      Compiler.leafFail(leaf, dt, col("x")) match {
+        case None => fallbackFor(leaf, dt)
+        case Some(cond) =>
+          val bound =
+            try bindProbe(probe.select(cond.as("c")), dt)
+            catch {
+              // cross-field predicate: the condition references
+              // sibling columns — escalate to the row-level builder
+              case e: org.apache.spark.sql.AnalysisException =>
+                throw new CrossFieldPred(e)
+            }
+          bound match {
+            case Literal(true, BooleanType) => FailAlways
+            case Literal(false, BooleanType) => PassAlways
+            case e if e.exists(_.isInstanceOf[CodegenFallback]) =>
+              Fallback(e)
+            case e => Leaf(e)
+          }
+      }
+  }
+
+  /** field values are checked by the field's contract directly; a NULL
+    * on a required field fails at the Field node, so inner never needs
+    * its own required gate. */
+  private def buildFieldInner(fc: Contract, dt: DataType)
+                             (implicit spark: SparkSession): VNode =
+    build(fc, dt)
+
+  private def peel(c: Contract): Contract = c match {
+    case OptionalC(inner) => inner
+    case Renamed(inner, n) => Renamed(peel(inner), n)
+    case other => other
+  }
+  private def isOptional(c: Contract): Boolean = c match {
+    case _: OptionalC => true
+    case Renamed(inner, _) => isOptional(inner)
+    case _ => false
+  }
+
+  /** generic first-violation as an interpreted fail condition — the
+    * universal safety net for combinations without a fast encoding. */
+  private def fallbackFor(c: Contract, dt: DataType)
+                         (implicit spark: SparkSession): VNode = {
+    implicit val env: MsgEnv = MsgEnv("data", c)
+    val probe = probeDf(dt)
+    val cond = Compiler.firstViol(c, dt, col("x"), Frame.root).isNotNull
+    Fallback(bindProbe(probe.select(cond.as("c")), dt))
+  }
+
+  private def probeDf(dt: DataType)(implicit spark: SparkSession) =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("x", dt))))
+
+  /** analyze a single-column projection and bind its `x` reference to
+    * slot 0 (the holder row the verdict evaluates leaves against). */
+  private def bindProbe(proj: org.apache.spark.sql.DataFrame,
+                        dt: DataType): Expression = {
+    val analyzed = proj.queryExecution.analyzed
+    val resolved = analyzed.asInstanceOf[Project].projectList.head match {
+      case a: Alias => a.child
+      case other => other
+    }
+    resolved.transform {
+      case ar: AttributeReference => BoundReference(0, dt, nullable = true)
+    }.transformUp {
+      // interpreted eval can't see RuntimeReplaceable (normally
+      // rewritten by the optimizer, which the probe bypasses)
+      case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+        => rr.replacement
+    }
+  }
+
+  /** analyze a projection over the full row schema and bind every
+    * column reference to its field of the row struct in slot 0. */
+  def bindRowProbe(proj: org.apache.spark.sql.DataFrame,
+                   rowType: StructType): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.GetStructField
+    val analyzed = proj.queryExecution.analyzed
+    val resolved = analyzed.asInstanceOf[Project].projectList.head match {
+      case a: Alias => a.child
+      case other => other
+    }
+    resolved.transform {
+      case ar: AttributeReference =>
+        GetStructField(BoundReference(0, rowType, nullable = true),
+          rowType.fieldIndex(ar.name), Some(ar.name))
+    }.transformUp {
+      case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+        => rr.replacement
+    }
+  }
+}
