@@ -79,7 +79,9 @@ object Bench {
     def runValidate(d: org.apache.spark.sql.DataFrame): Double =
       time(SpanDocs.validateAll(d, m).count())
     runValidate(cached) // codegen warm
-    val t32v = (1 to 3).map(_ => runValidate(cached)).min
+    // min-of-5: the co-tenant host's load swings 3-5x between sessions;
+    // a deeper min recovers the unloaded-machine number more reliably
+    val t32v = (1 to 5).map(_ => runValidate(cached)).min
 
     // Scaling evidence: the FULL validation suite (contract + uniqueness
     // + referential + column stats + drift sketch) — the job a

@@ -67,7 +67,8 @@ object SpanDocs {
     val spanDt = df.schema("spans").dataType
     implicit val env: MsgEnv = MsgEnv(thing, contract)
     if (!graft.functions.SpanCheck.matches(spanDt))
-      Validate.firstViolation(df, contract, thing)
+      // non-flagship span shapes: generic codegen verdict compiler
+      Validate.fastFirstViolation(df, contract, thing)
     else {
       // frames must match what Validate's row-level compile would build
       // (the fast path's slow-path payloads are compared bit-for-bit)

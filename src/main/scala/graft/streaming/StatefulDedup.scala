@@ -23,7 +23,9 @@ object StatefulDedup {
   case class DupEvent(doc_id: String, n_seen: Long)
 
   /** input: any streaming DataFrame with a `doc_id` column; output:
-    * one DupEvent per duplicate arrival (append mode). */
+    * one DupEvent per duplicate arrival (append mode). Unbounded state
+    * — for exploratory / bounded-keyspace streams; the scale path is
+    * [[duplicatesWithHorizon]]. */
   def duplicates(stream: DataFrame): Dataset[DupEvent] = {
     implicit val encS = Encoders.product[KeyState]
     implicit val encO = Encoders.product[DupEvent]
@@ -42,6 +44,50 @@ object StatefulDedup {
           if (total >= from)
             (from to total).map(ord => DupEvent(key, ord)).iterator
           else Iterator.empty
+      }
+  }
+
+  /** State-BOUNDED dedup for 10¹²-key streams: watermark on `tsCol`
+    * plus EventTimeTimeout — a key seen once falls out of state
+    * `horizon` after its last event time passes the watermark, so
+    * state size is O(keys within the horizon), not O(all keys ever).
+    * Duplicates separated by more than the horizon are (by design) not
+    * reported — the standard streaming-dedup trade
+    * (`dropDuplicatesWithinWatermark` makes the same one). */
+  def duplicatesWithHorizon(stream: DataFrame, tsCol: String,
+                            horizon: String): Dataset[DupEvent] = {
+    implicit val encS = Encoders.product[KeyState]
+    implicit val encO = Encoders.product[DupEvent]
+    stream
+      .select(col("doc_id").cast("string").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      // watermark AFTER the cast projection: projecting a watermarked
+      // column through a cast would drop the event-time tag
+      .withWatermark("ts", horizon)
+      .as[(String, java.sql.Timestamp)](
+        Encoders.tuple(Encoders.STRING,
+          org.apache.spark.sql.Encoders.TIMESTAMP))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[KeyState, DupEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // key idle past the horizon: drop its state
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.map(_.count).getOrElse(0L)
+            val total = prev + batch.size.toLong
+            state.update(KeyState(total))
+            val maxTs = batch.map(_._2.getTime).max
+            // expire once the watermark passes last-seen + horizon
+            state.setTimeoutTimestamp(maxTs, horizon)
+            val from = math.max(prev + 1, 2L)
+            if (total >= from)
+              (from to total).map(ord => DupEvent(key, ord)).iterator
+            else Iterator.empty
+          }
       }
   }
 }

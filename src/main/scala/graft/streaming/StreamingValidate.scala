@@ -58,7 +58,7 @@ object StreamingValidate {
   def windowedSummary(stream: DataFrame, contract: ObjectC,
                       tsCol: String, window: String,
                       watermark: String): DataFrame = {
-    val fail = Validate.firstViolation(stream, contract).isNotNull
+    val fail = Validate.fastFirstViolation(stream, contract).isNotNull
     stream.withColumn("_fail", fail)
       .withWatermark(tsCol, watermark)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))

@@ -260,6 +260,33 @@ class SurfaceSpec extends SparkTestBase {
     assert(rows == Seq(("a", 2L), ("a", 3L), ("b", 2L)))
   }
 
+  test("streaming: horizon-bounded stateful dedup expires idle keys, " +
+       "still reports in-horizon duplicates") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val df = mem.toDF().toDF("doc_id", "ts")
+    val out = graft.streaming.StatefulDedup
+      .duplicatesWithHorizon(df, "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdh")
+      .outputMode("append").start()
+    mem.addData(("a", ts(10)), ("a", ts(11)), ("b", ts(10)))
+    q.processAllAvailable() // a duplicated within the horizon → (a,2)
+    // advance the watermark to 50min: a (timeout 21min) and b (20min)
+    // fall out of state; z stays live (timeout 70min)
+    mem.addData(("z", ts(60)))
+    q.processAllAvailable()
+    mem.addData(("a", ts(61)), ("b", ts(61)), ("z", ts(61)))
+    q.processAllAvailable() // expired a/b restart at 1 → no dup;
+    q.stop()                // z within horizon → (z,2)
+    val rows = spark.table("sdh").orderBy("doc_id", "n_seen").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 2L), ("z", 2L)),
+      s"horizon dedup rows: $rows")
+  }
+
   test("multimodal: resize keeps aspect ratio; frame sampling explodes " +
        "videos deterministically") {
     val media = gen.SpanGen.media(spark, 200)
