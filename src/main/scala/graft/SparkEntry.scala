@@ -163,10 +163,20 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id", "rank")),
 
-    // embedding-cosine near-dup pairs (exact threshold join)
+    // embedding-cosine near-dup pairs (exact threshold join — audit)
     "dedup_embedding_cosine" -> ((s, dir) =>
       pipeline.Similarity.cosinePairs(t(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.45)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // embedding-cosine near-dup pairs, LSH-bucketed (the scale path:
+    // no cartesian anywhere) — oracle replays candidates + verify from
+    // the staged bucket assignments
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      pipeline.Similarity.cosinePairsLsh(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45,
+          stagingDir = Some(genDir))
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
@@ -640,6 +650,34 @@ object SparkEntry {
         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
         |FROM s a JOIN s b ON a.id < b.id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // LSH pair dedup: candidates from the staged pair-bucket
+    // assignments, exact cosine verify at the same threshold.
+    "dedup_embedding_lsh" ->
+      """WITH bk AS (
+        |  SELECT * FROM
+        |    read_parquet('/tmp/graft_gen/lsh_pair_buckets/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM bk x JOIN bk y
+        |    ON x.t = y.t AND x.b = y.b AND x.id < y.id),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(list_apply(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings)
+        |SELECT c.id_a, c.id_b,
+        |  round(list_aggregate(list_apply(
+        |      list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |    / (a.nrm * b.nrm), 6) AS cosine
+        |FROM cand c JOIN v a ON a.vec_id = c.id_a
+        |  JOIN v b ON b.vec_id = c.id_b
+        |WHERE list_aggregate(list_apply(
+        |      list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+        |    / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
     // LSH ANN: candidates from the staged bucket assignments, exact

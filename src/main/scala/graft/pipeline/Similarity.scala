@@ -201,41 +201,50 @@ object Similarity {
     * nTables unions. Defaults favor moderate-similarity neighbors
     * (cos ≈ 0.5); for true near-duplicates (cos > 0.9) even
     * nPlanes = 16 keeps recall ≈ 1 with a handful of tables. */
-  /** `nPlanes <= 0` sizes buckets from the corpus: nPlanes ≈
-    * log2(n / targetBucketSize) with targetBucketSize ≈ 4·k, so expected
-    * bucket size — and with it the candidate-join cost n·bucketSize —
-    * stays constant as n grows (the 100 TB knob; fixed nPlanes would let
+  /** auto-sizing: nPlanes ≈ log2(n / targetBucket), so expected bucket
+    * size — and with it the candidate-join cost n·bucketSize — stays
+    * constant as n grows (the 100 TB knob; fixed nPlanes would let
     * buckets grow linearly with n). */
+  private def autoPlanes(df: DataFrame, targetBucket: Double): Int = {
+    val n = df.count().toDouble
+    math.max(4, math.ceil(math.log(n / targetBucket) / math.log(2.0))
+      .toInt)
+  }
+
+  /** (id, table, bucket) assignments under `nTables` independent
+    * hyperplane sets; staged runs persist and read back so join sides
+    * and any external oracle consume the same bytes. */
+  private def bucketAssignments(df: DataFrame, idCol: String,
+                                vecCol: String, dim: Int, nPlanes: Int,
+                                nTables: Int, seed: Long,
+                                stagingDir: Option[String],
+                                stageName: String): DataFrame = {
+    val ps = planes(nTables, nPlanes, dim, seed)
+    val bucketed0 = df.select(col(idCol).as("id"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"), bucket(col(vecCol), ps(t)).as("b"))): _*))
+        .as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    stagingDir.map { dir =>
+      bucketed0.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/$stageName")
+      df.sparkSession.read.parquet(s"$dir/$stageName")
+    }.getOrElse(bucketed0)
+  }
+
+  /** `nPlanes <= 0` → auto-sized (see [[autoPlanes]], target ≈ 4·k). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
               dim: Int = 64, nPlanes: Int = 0, nTables: Int = 12,
               seed: Long = 42, stagingDir: Option[String] = None)
       : DataFrame = {
-    val np =
-      if (nPlanes > 0) nPlanes
-      else {
-        val n = df.count().toDouble
-        math.max(4, math.ceil(math.log(n / (4.0 * k)) / math.log(2.0))
-          .toInt)
-      }
-    val ps = planes(nTables, np, dim, seed)
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(df, 4.0 * k)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     // candidate pairs are deduped NARROW (ids only) before vectors are
     // re-attached — carrying vectors through the nTables-way bucket join
     // and deduping wide rows shuffles dim×nTables more bytes
-    val bucketed0 = v.select(col("id"),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("t"), bucket(col("vec"), ps(t)).as("b"))): _*))
-        .as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
-    // staged runs read the persisted buckets back: the self-join and the
-    // oracle consume the same bytes, and the nTables-way projection runs
-    // once instead of once per join side
-    val bucketed = stagingDir.map { dir =>
-      bucketed0.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/lsh_buckets")
-      df.sparkSession.read.parquet(s"$dir/lsh_buckets")
-    }.getOrElse(bucketed0)
+    val bucketed = bucketAssignments(df, idCol, vecCol, dim, np,
+      nTables, seed, stagingDir, "lsh_buckets")
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.id") =!= col("y.id"))
@@ -253,5 +262,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("id", "rank", "neighbor", "cosine")
+  }
+
+  /** LSH-bucketed embedding near-duplicate PAIRS — the scale path for
+    * [[cosinePairs]] (which is an exact O(n²) audit join): candidates
+    * from bucket collisions, exact cosine verify, so precision is exact
+    * and only recall depends on (nPlanes, nTables). For true near-dups
+    * (cos ≥ ~0.9) hyperplane collision probability per table is
+    * (1 - θ/π)^nPlanes ≈ 0.9^nPlanes, recovered across `nTables`
+    * unions — recall ≈ 1 at the defaults. */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, dim: Int = 64, nPlanes: Int = 0,
+                     nTables: Int = 12, seed: Long = 42,
+                     stagingDir: Option[String] = None): DataFrame = {
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(df, 16.0)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val bucketed = bucketAssignments(df, idCol, vecCol, dim, np,
+      nTables, seed, stagingDir, "lsh_pair_buckets")
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
   }
 }

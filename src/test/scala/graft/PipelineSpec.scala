@@ -145,6 +145,22 @@ class PipelineSpec extends SparkTestBase {
         s"oracle to rows-only (missed: ${(exact -- lsh).size})")
   }
 
+  test("LSH pair dedup: exact precision; recall vs the cartesian join") {
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getAs[Any](0), r.getAs[Any](1))).toSet
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getAs[Any](0), r.getAs[Any](1))).toSet
+    assert(exact.nonEmpty)
+    // precision exact by construction (threshold verify on candidates)
+    assert(lsh.subsetOf(exact), "LSH emitted a pair below threshold")
+    // cos >= 0.45 is the HARD regime for hyperplane LSH (collision
+    // probability ~0.52/plane); still expect a solid majority
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"LSH pair recall = $recall")
+  }
+
   test("exact dedup groups events records") {
     val events = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")

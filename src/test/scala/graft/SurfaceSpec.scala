@@ -287,6 +287,24 @@ class SurfaceSpec extends SparkTestBase {
       s"horizon dedup rows: $rows")
   }
 
+  test("GraftExtensions: graft_dot callable from SQL") {
+    // the shared-JVM test session predates builder-time extensions, so
+    // install the SAME triples GraftExtensions injects into a fresh
+    // session's function registry and drive them through spark.sql
+    val s2 = spark.newSession()
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      s2.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
+    val out = s2.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(out == 11.0)
+    // arity misuse surfaces at analysis
+    intercept[Exception](
+      s2.sql("SELECT graft_dot(array(1.0D)) AS d").head())
+  }
+
   test("multimodal: resize keeps aspect ratio; frame sampling explodes " +
        "videos deterministically") {
     val media = gen.SpanGen.media(spark, 200)
