@@ -40,16 +40,21 @@ object Uniqueness {
   }
 
   /** duplicate rows as violations: every row whose key is duplicated,
-    * reported in the reference's violation shape. */
+    * reported in the reference's violation shape.
+    *
+    * ONE shuffle: a window count over the key partition replaces the
+    * groupBy + semi-join shape (two exchanges of the key column) —
+    * measured faster on the flagship, and NULL keys group together
+    * under the window natively (an equi-join would silently drop
+    * them). Skewed hot keys land in one window partition; at
+    * pathological skew use [[duplicates]] (map-side partial collapses
+    * hot keys) + an explicit join instead. */
   def violations(df: DataFrame, keyCol: String, thing: String = "data")
       : DataFrame = {
-    // null-safe join: SQL equi-joins never match NULL keys, but a NULL
-    // key occurring twice IS a duplicate — <=> keeps those rows in the
-    // violation output (duplicates() already counts them). The dup-side
-    // key is renamed first: dups derives from df, so an unrenamed
-    // reference would resolve to the same attribute (trivially true).
-    val dups = duplicates(df, keyCol).withColumnRenamed(keyCol, "_dup_key")
-    df.join(dups, col(keyCol) <=> col("_dup_key"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+    df.withColumn("_n_dups", count(lit(1)).over(w))
+      .where(col("_n_dups") > 1)
       .select(
         col(keyCol).cast("string").as("doc_id"),
         lit("." + keyCol).as("path"),
