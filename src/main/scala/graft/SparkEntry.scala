@@ -156,6 +156,14 @@ object SparkEntry {
           "doc_id", "text", maxHamming = 3, stagingDir = Some(genDir))
         .orderBy("id_a", "id_b")),
 
+    // 128-bit SimHash pairs (the beyond-10^8-docs signature: 4x32-bit
+    // bands keep random collisions ~linear in n); oracle = all-pairs
+    // Hamming over the staged two-half signatures
+    "dedup_simhash128" -> ((s, dir) =>
+      pipeline.Dedup.simhashPairs128(t(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3, stagingDir = Some(genDir))
+        .orderBy("id_a", "id_b")),
+
     // brute-force cosine top-k (exact ANN baseline)
     "ann_cosine_topk" -> ((s, dir) =>
       pipeline.Similarity.cosineTopK(t(s, dir, "embeddings"),
@@ -650,6 +658,18 @@ object SparkEntry {
         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
         |FROM s a JOIN s b ON a.id < b.id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash128" ->
+      """WITH s AS (
+        |  SELECT * FROM
+        |    read_parquet('/tmp/graft_gen/simhash128_sigs/*.parquet'))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  bit_count(xor(a.sh_lo, b.sh_lo)) +
+        |    bit_count(xor(a.sh_hi, b.sh_hi)) AS hamming
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) +
+        |  bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     // LSH pair dedup: candidates from the staged pair-bucket

@@ -173,6 +173,71 @@ object Dedup {
       .select(col("id"), assembled.as("simhash"))
   }
 
+  /** 128-bit SimHash as two seeded 64-bit halves — the EXTREME-scale
+    * signature: with 4×32-bit bands the bucket keyspace is 2³², so the
+    * expected random-collision candidate count stays ~n·(n/2³²) per
+    * band — linear in n up to ~10⁹ docs where the 64-bit/16-bit-band
+    * scheme degrades to ~n²/2¹⁶ (its buckets saturate at 65k). */
+  def simhash128(df: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("id"), xxhash64(col("tok")).as("h0"),
+        xxhash64(col("tok"), lit(1)).as("h1"))
+    def half(h: String, tag: String) = {
+      val bitSums = (0 until 64).map(i =>
+        sum(shiftright(col(h), i).bitwiseAND(1) * 2 - 1).as(s"$tag$i"))
+      bitSums
+    }
+    val aggs = half("h0", "a") ++ half("h1", "b")
+    def assemble(tag: String) = (0 until 64).map(i =>
+      when(col(s"$tag$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    tokens.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), assemble("a").as("sh_lo"),
+        assemble("b").as("sh_hi"))
+  }
+
+  /** SimHash near-dup pairs over the 128-bit signature: 4×32-bit band
+    * join (complete for Hamming ≤ 3 by the same pigeonhole as
+    * [[simhashPairs]]) + exact popcount verify over both halves. The
+    * scheme to use beyond ~10⁸ docs. */
+  def simhashPairs128(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3,
+                      stagingDir: Option[String] = None): DataFrame = {
+    require(maxHamming <= 3, "4-band completeness requires <= 3")
+    val sh0 = simhash128(df, idCol, textCol)
+    val sh = stagingDir.map { dir =>
+      sh0.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/simhash128_sigs")
+      df.sparkSession.read.parquet(s"$dir/simhash128_sigs")
+    }.getOrElse(sh0)
+    val mask32 = lit(0xFFFFFFFFL)
+    val chunks = Seq(
+      col("sh_lo").bitwiseAND(mask32),
+      shiftright(col("sh_lo"), 32).bitwiseAND(mask32),
+      col("sh_hi").bitwiseAND(mask32),
+      shiftright(col("sh_hi"), 32).bitwiseAND(mask32))
+    val banded = sh.select(col("id"), col("sh_lo"), col("sh_hi"),
+      explode(array(chunks.zipWithIndex.map { case (c, b) =>
+        struct(lit(b).as("band"), c.as("chunk")) }: _*)).as("bb"))
+      .select(col("id"), col("sh_lo"), col("sh_hi"),
+        col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sh_lo").as("alo"), col("x.sh_hi").as("ahi"),
+        col("y.sh_lo").as("blo"), col("y.sh_hi").as("bhi"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("alo").bitwiseXOR(col("blo"))) +
+          bit_count(col("ahi").bitwiseXOR(col("bhi"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band join (complete for Hamming
     * distance ≤ 3 by pigeonhole: 3 flipped bits touch at most 3 of the
     * 4 bands, so one band always collides) + exact bit_count

@@ -41,6 +41,23 @@ class PipelineSpec extends SparkTestBase {
       s"simhash captured $hit of ${exact.size} J>=0.9 pairs")
   }
 
+  test("simhash128: captures high-Jaccard pairs; 64-bit pairs subset " +
+       "of looser capture") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0),
+        r.getLong(1))).toSet
+    val p128 = Dedup.simhashPairs128(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same capture property as the 64-bit scheme, on a wider signature
+    val hit = exact.count(p128.contains)
+    assert(hit >= exact.size / 2,
+      s"simhash128 captured $hit of ${exact.size} J>=0.9 pairs")
+    // hamming column consistent with the two-half signature
+    val withH = Dedup.simhashPairs128(docs, "doc_id", "text", 3)
+      .collect()
+    assert(withH.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
   test("LSH ANN: recall@3 vs brute-force baseline >= 0.6") {
     val truth = Similarity.cosineTopK(emb, "vec_id", "embedding", 3)
       .select("id", "neighbor").collect()
