@@ -420,6 +420,23 @@ object ContractCheck {
     val rowType = StructType(df.schema.fields)
     implicit val env: MsgEnv = MsgEnv(thing, contract)
     val plan = VerdictCompiler.buildRow(contract, rowType)
+    // guard: the generated verdict inlines every node into one method
+    // (no auto-splitting inside a single expression) — a pathological
+    // contract could exceed the JVM's 64KB method limit and force a
+    // whole-stage fallback. Past ~300 leaves, compile generically.
+    def leaves(v: VNode): Int = v match {
+      case _: VNode.Leaf | _: VNode.Fallback | _: VNode.RowFallback => 1
+      case VNode.Opt(i) => leaves(i)
+      case VNode.AndN(is) => is.map(leaves).sum
+      case VNode.OrN(is) => is.map(leaves).sum
+      case VNode.Arr(e, _) => leaves(e)
+      case VNode.TupArr(is, _, _) => is.map(leaves).sum
+      case VNode.Obj(fs) => fs.map(f => leaves(f.inner)).sum
+      case VNode.Field(_, _, _, i) => leaves(i)
+      case _ => 0
+    }
+    if (leaves(plan) > 300)
+      return graft.engine.Validate.firstViolation(df, contract, thing)
     // generic compile over a probe with the REAL row schema (so
     // cross-field predicates resolve against siblings, exactly like
     // Validate.firstViolation), then bound to the row struct in slot 0
