@@ -56,6 +56,7 @@ case class ContractCheck(child: Expression, plan: VNode,
       case VNode.OrN(is) => is.foreach(walk)
       case VNode.Arr(e, _) => walk(e)
       case VNode.TupArr(is, _, _) => is.foreach(walk)
+      case VNode.TupStruct(is) => is.foreach(x => walk(x._1))
       case VNode.Obj(fs) => fs.foreach(f => walk(f.inner))
       case VNode.Field(_, _, _, i) => walk(i)
       case _ => ()
@@ -128,6 +129,15 @@ case class ContractCheck(child: Expression, plan: VNode,
           else items.zipWithIndex.forall { case (item, i) =>
             val e = if (arr.isNullAt(i)) null else arr.get(i, et)
             verdict(item, e, et, root)
+          }
+        }
+      case VNode.TupStruct(items) =>
+        if (value == null) false
+        else {
+          val row = value.asInstanceOf[InternalRow]
+          items.zipWithIndex.forall { case ((item, fdt), i) =>
+            val e = if (row.isNullAt(i)) null else row.get(i, fdt)
+            verdict(item, e, fdt, root)
           }
         }
       case VNode.Obj(fields) =>
@@ -326,6 +336,32 @@ case class ContractCheck(child: Expression, plan: VNode,
          |    $res = true;
          |    $positions
          |  }
+         |}
+       """.stripMargin
+
+    case VNode.TupStruct(items) =>
+      val row = ctx.freshName("row")
+      val positions = items.zipWithIndex.map { case ((item, fdt), i) =>
+        val eNull = ctx.freshName("posNull")
+        val eVal = ctx.freshName("posVal")
+        val er = ctx.freshName("posRes")
+        val jt = CodeGenerator.javaType(fdt)
+        s"""
+           |if ($res) {
+           |  boolean $eNull = $row.isNullAt($i);
+           |  $jt $eVal = $eNull ? ${CodeGenerator.defaultValue(fdt)}
+           |    : ${CodeGenerator.getValue(row, fdt, i.toString)};
+           |  boolean $er;
+           |  ${emit(ctx, self, item, eVal, eNull, fdt, er, rootVar)}
+           |  $res = $er;
+           |}
+         """.stripMargin
+      }.mkString("\n")
+      s"""
+         |if ($isNullCode) { $res = false; } else {
+         |  InternalRow $row = $valueVar;
+         |  $res = true;
+         |  $positions
          |}
        """.stripMargin
 

@@ -50,6 +50,11 @@ object VNode {
   /** tuple over ArrayType: size gate, positional checks, strict cap */
   final case class TupArr(items: Seq[VNode], et: DataType,
                           strict: Boolean) extends VNode
+  /** tuple over StructType: positional checks by ordinal. Unlike object
+    * fields there is NO required gate — a null position flows into the
+    * positional contract (any/falsy/optional accept it), matching the
+    * generic compile. */
+  final case class TupStruct(items: Seq[(VNode, DataType)]) extends VNode
   /** one declared object field bound to a struct ordinal */
   final case class Field(ordinal: Int, dt: DataType, optional: Boolean,
                          inner: VNode) extends VNode
@@ -140,14 +145,10 @@ object VerdictCompiler {
       case ArrayType(et, _) => TupArr(items.map(build(_, et)), et, strict)
       case StructType(sfs) =>
         if (sfs.length < items.size) FailAlways
-        else {
-          val fields = items.zipWithIndex.map { case (ic, i) =>
-            Field(i, sfs(i).dataType, optional = false,
-              buildFieldInner(ic, sfs(i).dataType))
-          }
-          if (strict && sfs.length > items.size) FailAlways
-          else Obj(fields)
-        }
+        else if (strict && sfs.length > items.size) FailAlways
+        else TupStruct(items.zipWithIndex.map { case (ic, i) =>
+          (build(ic, sfs(i).dataType), sfs(i).dataType)
+        })
       case _ => FailAlways
     }
     case HashC(valueC) => dt match {

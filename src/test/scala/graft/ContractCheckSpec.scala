@@ -86,10 +86,33 @@ class ContractCheckSpec extends SparkTestBase {
         |named_struct('a','s','b',2.0) as ts,
         |map('k', 1.0) as h, cast(null as struct<y:string>) as o,
         |0 as f, 'xxx' as s, cast(null as array<string>) as xs"""
-        .stripMargin)
+        .stripMargin,
+      // NULL positions inside a struct-tuple: no required gate — the
+      // positional contract decides (string rejects null; the whole
+      // struct-tuple field ts fails exactly as the generic compile says)
+      """array(1, 5) as t,
+        |named_struct('a',cast(null as string),'b',2.0) as ts,
+        |map('k', 1.0) as h, named_struct('y','a') as o,
+        |0 as f, 'xxx' as s, array('p') as xs""".stripMargin)
     fixtures.foreach { f =>
       assertEquivalent(fix(f), c, expectSomeViol = false)
     }
+  }
+
+  test("codegen verdict ≡ generic: null-accepting contracts at struct-" +
+       "tuple positions (no required gate)") {
+    // any/falsy/optional ACCEPT a null position — the verdict compiler
+    // must not impose object-field required semantics on tuples
+    val df = fix(
+      "named_struct('a', cast(null as int), 'b', 'x') as ts")
+    assertEquivalent(df, C.obj("ts" -> C.tuple(C.any, C.string)),
+      expectSomeViol = false)
+    assertEquivalent(df, C.obj("ts" -> C.tuple(C.falsy, C.string)),
+      expectSomeViol = false)
+    assertEquivalent(df,
+      C.obj("ts" -> C.tuple(C.optional(C.integer), C.string)),
+      expectSomeViol = false)
+    assertEquivalent(df, C.obj("ts" -> C.tuple(C.integer, C.string)))
   }
 
   test("codegen verdict ≡ generic on FailAlways paths (schema gaps)") {
