@@ -17,11 +17,25 @@ final class ContractRegistry(val module: String) {
                    category: String)
 
   private var entries: ListMap[String, Entry] = ListMap.empty
+  private var categories: ListMap[String, String] = ListMap.empty
+  private var currentCategory: String = ""
   private val builtins = Set("any", "nothing", "string", "number",
     "integer", "bool", "date", "falsy", "truthy")
 
+  /** `documentCategory` (contract.impl.js:797-805): sets the category
+    * applied to SUBSEQUENT registrations that don't name one, and
+    * records the category's own doc line. */
+  def documentCategory(category: String, doc: String = ""): this.type = {
+    currentCategory = category
+    categories += category -> doc
+    this
+  }
+
+  def categoryDocs: ListMap[String, String] = categories
+
   /** register a named contract; rejects built-in names and duplicates
-    * (documentType guards, contract.impl.js:809-822). */
+    * (documentType guards, contract.impl.js:809-822). An empty
+    * `category` inherits the current [[documentCategory]]. */
   def register(name: String, contract: Contract, doc: String = "",
                category: String = ""): this.type = {
     if (builtins(name))
@@ -29,7 +43,8 @@ final class ContractRegistry(val module: String) {
         s"cannot shadow built-in contract `$name`")
     if (entries.contains(name))
       throw new ContractLibraryError(s"duplicate contract `$name`")
-    entries += name -> Entry(name, contract, doc, category)
+    val cat = if (category.nonEmpty) category else currentCategory
+    entries += name -> Entry(name, contract, doc, cat)
     this
   }
 

@@ -173,6 +173,14 @@ class MessageParitySpec extends SparkTestBase {
       checkValue("array()", C.or(C.string, C.number, C.bool)))
   }
 
+  test("parity: nested or (or-in-or embeds the inner aggregation; " +
+       "or-in-and carries the and frame into every inner message)") {
+    assertGolden("or_in_or", checkValue("0",
+      C.or(C.or(C.string, C.bool), C.value(6))))
+    assertGolden("or_in_and", checkValue("3",
+      C.and(C.number, C.or(C.value(1), C.value(2)))))
+  }
+
   test("parity: or over object branches collects required-field " +
        "failures too") {
     assertGolden("or_of_objects", checkValue(

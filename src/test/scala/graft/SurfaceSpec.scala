@@ -54,6 +54,17 @@ class SurfaceSpec extends SparkTestBase {
     intercept[ContractLibraryError](r.publish(Map("other" -> "x")))
     assert(r.toManifestJson.contains("\"spanDoc\""))
     assert(r.toMarkdown.contains("`spanDoc`"))
+    // documentCategory applies to subsequent registrations
+    // (contract.impl.js:797-805)
+    val r2 = new ContractRegistry("graft.cat")
+    r2.documentCategory("core", "core checks")
+      .register("a", C.string)
+      .register("b", C.number, category = "other")
+      .register("d", C.bool)
+    assert(r2.categoryDocs("core") == "core checks")
+    val md = r2.toMarkdown
+    assert(md.contains("| `a` | core |") && md.contains("| `b` | other |")
+      && md.contains("| `d` | core |"))
   }
 
   test("publish wrapAll: members enforce their contract at call time") {
