@@ -20,22 +20,28 @@ object SparkEntry {
     * inputs / intermediates (generated span table, LSH buckets, simhash
     * signatures, IVF centroids, media payloads) here so the driver's
     * DuckDB oracle can read the SAME bytes and replay the semantics in
-    * SQL — turning hash-based operators into hard-checked ones. */
-  val genDir = "/tmp/graft_gen"
+    * SQL — turning hash-based operators into hard-checked ones.
+    * Keyed by the INPUT DATASET name: the driver runs Verify at sf0.01
+    * and Bench at sf0.1, and an unkeyed path would let the later run
+    * clobber the staged bytes the oracle is about to read (the oracle
+    * SQL literals pin the sf0.01 keyed path). */
+  def genDir(sfDir: String): String =
+    s"/tmp/graft_gen/${new java.io.File(sfDir).getName}"
 
   /** stage the generated span-document table (+ media catalog) and read
     * it back, so query lineage and oracle consume identical bytes. */
-  private def stagedSpanDocs(s: SparkSession): (DataFrame, DataFrame) = {
+  private def stagedSpanDocs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     gen.SpanGen.docs(s, 20000, 32,
       defects = gen.SpanGen.Defects(nullKind = true, badKind = true,
         textOnMedia = true, danglingRef = true, dupDocId = true,
         negOffset = true, badRef = true, rate = 200, hotKeyEvery = 500),
       withRowId = true)
-      .write.mode("overwrite").parquet(s"$genDir/span_docs")
+      .write.mode("overwrite").parquet(s"${genDir(dir)}/span_docs")
     gen.SpanGen.media(s, 10000)
-      .write.mode("overwrite").parquet(s"$genDir/media_catalog")
-    (s.read.parquet(s"$genDir/span_docs"),
-      s.read.parquet(s"$genDir/media_catalog"))
+      .write.mode("overwrite").parquet(s"${genDir(dir)}/media_catalog")
+    (s.read.parquet(s"${genDir(dir)}/span_docs"),
+      s.read.parquet(s"${genDir(dir)}/media_catalog"))
   }
 
   /** Policy contract for the driver `documents` table — exercises the
@@ -101,7 +107,7 @@ object SparkEntry {
     // + referential), per-check violation counts — the DuckDB oracle
     // replays the whole rule over the staged parquet.
     "span_validate" -> ((s, dir) => {
-      val (docs, media) = stagedSpanDocs(s)
+      val (docs, media) = stagedSpanDocs(s, dir)
       SpanDocs.validateAll(docs, media)
         .groupBy(col("expected").as("check"))
         .agg(count(lit(1)).as("n_violations"))
@@ -112,7 +118,7 @@ object SparkEntry {
     // violation (array/or/object recursion, [i] frames) over the staged
     // span table — keyed by row_id so duplicated doc_ids stay distinct.
     "v_spans_nested" -> ((s, dir) => {
-      val (docs, _) = stagedSpanDocs(s)
+      val (docs, _) = stagedSpanDocs(s, dir)
       Validate.violations(docs, SpanDocs.contract, "row_id", "docs")
         .select("doc_id", "path", "expected", "got")
         .orderBy("doc_id")
@@ -153,7 +159,7 @@ object SparkEntry {
     // Hamming join over the staged signatures must match exactly.
     "dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs(t(s, dir, "documents"),
-          "doc_id", "text", maxHamming = 3, stagingDir = Some(genDir))
+          "doc_id", "text", maxHamming = 3, stagingDir = Some(genDir(dir)))
         .orderBy("id_a", "id_b")),
 
     // 128-bit SimHash pairs (the beyond-10^8-docs signature: 4x32-bit
@@ -161,7 +167,7 @@ object SparkEntry {
     // Hamming over the staged two-half signatures
     "dedup_simhash128" -> ((s, dir) =>
       pipeline.Dedup.simhashPairs128(t(s, dir, "documents"),
-          "doc_id", "text", maxHamming = 3, stagingDir = Some(genDir))
+          "doc_id", "text", maxHamming = 3, stagingDir = Some(genDir(dir)))
         .orderBy("id_a", "id_b")),
 
     // brute-force cosine top-k (exact ANN baseline)
@@ -184,7 +190,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) =>
       pipeline.Similarity.cosinePairsLsh(t(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.45,
-          stagingDir = Some(genDir))
+          stagingDir = Some(genDir(dir)))
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
@@ -193,7 +199,7 @@ object SparkEntry {
     // exact cosine + ranking from the same buckets.
     "ann_lsh_topk" -> ((s, dir) =>
       pipeline.Similarity.lshTopK(t(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 3, stagingDir = Some(genDir))
+          "vec_id", "embedding", k = 3, stagingDir = Some(genDir(dir)))
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id", "rank")),
 
@@ -203,7 +209,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       pipeline.Similarity.ivfTopK(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 3, nCentroids = 0, nProbe = 5,
-          stagingDir = Some(genDir))
+          stagingDir = Some(genDir(dir)))
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id", "rank")),
 
@@ -236,8 +242,9 @@ object SparkEntry {
     // byte length, so the oracle recomputes them from octet_length.
     "mm_features" -> ((s, dir) => {
       pipeline.Multimodal.withPayload(gen.SpanGen.media(s, 2000))
-        .write.mode("overwrite").parquet(s"$genDir/media_payload")
-      val media = s.read.parquet(s"$genDir/media_payload")
+        .write.mode("overwrite")
+        .parquet(s"${genDir(dir)}/media_payload")
+      val media = s.read.parquet(s"${genDir(dir)}/media_payload")
       val feats = pipeline.Multimodal.extractFeatures(media)
       feats.toDF()
         .groupBy("mime")
@@ -567,9 +574,9 @@ object SparkEntry {
     // + doc_id uniqueness + media_ref referential, counted per check.
     "span_validate" ->
       """WITH docs AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_gen/span_docs/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/sf0.01/span_docs/*.parquet')),
         |media AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_gen/media_catalog/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/sf0.01/media_catalog/*.parquet')),
         |sp AS (
         |  SELECT row_id, spans[i].kind AS kind, spans[i].text AS text,
         |    spans[i].media_ref AS media_ref, spans[i]['offset'] AS off, i
@@ -614,7 +621,7 @@ object SparkEntry {
     // path frame and the rendered span struct as `got`.
     "v_spans_nested" ->
       """WITH docs AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_gen/span_docs/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/sf0.01/span_docs/*.parquet')),
         |sp AS (
         |  SELECT row_id, spans[i].kind AS kind, spans[i].text AS text,
         |    spans[i].media_ref AS media_ref, spans[i]['offset'] AS off, i
@@ -653,7 +660,7 @@ object SparkEntry {
     // over the staged signatures (banding is complete for <= 3 flips).
     "dedup_simhash" ->
       """WITH s AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_gen/simhash_sigs/*.parquet'))
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/sf0.01/simhash_sigs/*.parquet'))
         |SELECT a.id AS id_a, b.id AS id_b,
         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
         |FROM s a JOIN s b ON a.id < b.id
@@ -663,7 +670,7 @@ object SparkEntry {
     "dedup_simhash128" ->
       """WITH s AS (
         |  SELECT * FROM
-        |    read_parquet('/tmp/graft_gen/simhash128_sigs/*.parquet'))
+        |    read_parquet('/tmp/graft_gen/sf0.01/simhash128_sigs/*.parquet'))
         |SELECT a.id AS id_a, b.id AS id_b,
         |  bit_count(xor(a.sh_lo, b.sh_lo)) +
         |    bit_count(xor(a.sh_hi, b.sh_hi)) AS hamming
@@ -677,7 +684,7 @@ object SparkEntry {
     "dedup_embedding_lsh" ->
       """WITH bk AS (
         |  SELECT * FROM
-        |    read_parquet('/tmp/graft_gen/lsh_pair_buckets/*.parquet')),
+        |    read_parquet('/tmp/graft_gen/sf0.01/lsh_pair_buckets/*.parquet')),
         |cand AS (
         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
         |  FROM bk x JOIN bk y
@@ -704,7 +711,7 @@ object SparkEntry {
     // cosine rerank over the embeddings table, same total order.
     "ann_lsh_topk" ->
       """WITH bk AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_gen/lsh_buckets/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/sf0.01/lsh_buckets/*.parquet')),
         |cand AS (
         |  SELECT DISTINCT x.id AS id, y.id AS neighbor
         |  FROM bk x JOIN bk y
@@ -733,7 +740,7 @@ object SparkEntry {
     // — matching the reverse(array_sort(struct(s, c))) compile).
     "ann_ivf_topk" ->
       """WITH cents AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_gen/ivf_centroids/*.parquet')),
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/sf0.01/ivf_centroids/*.parquet')),
         |v AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_aggregate(list_apply(embedding,
@@ -778,7 +785,7 @@ object SparkEntry {
         |    AS min_w,
         |  CAST(max(16 + (octet_length(payload) * 104729) % 1024) AS INT)
         |    AS max_h
-        |FROM read_parquet('/tmp/graft_gen/media_payload/*.parquet')
+        |FROM read_parquet('/tmp/graft_gen/sf0.01/media_payload/*.parquet')
         |GROUP BY mime ORDER BY mime""".stripMargin,
 
     // exact-audit drift: same KS/PSI definitions as the engine's exact
