@@ -132,7 +132,14 @@ object Drift {
       df.select(col(colName).cast("double").as("v"))
         .where(col("v").isNotNull)
     val a = vals(baseline); val b = vals(current)
-    val bounds = a.union(b).agg(min(col("v")), max(col("v"))).head()
+    val bounds = a.union(b).agg(min(col("v")), max(col("v")),
+      count(lit(1))).head()
+    // no non-null values on either side: bounds are null and the CDFs
+    // would divide by zero — report an explicit indeterminate failure
+    // instead of NPEing (a side with zero rows can't evidence "no drift")
+    if (bounds.isNullAt(0) || bounds.getLong(2) == 0L)
+      return Seq((colName, Double.NaN, Double.NaN, 0L, 0L, false))
+        .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val grid = (0 until gridSize)
       .map(i => lo + (hi - lo) * i / (gridSize - 1)).toArray
@@ -142,9 +149,14 @@ object Drift {
       } :+ count(lit(1)).as("n")
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       val n = r.getLong(gridSize)
-      ((0 until gridSize).map(i => r.getLong(i).toDouble / n).toArray, n)
+      if (n == 0L) (Array.fill(gridSize)(Double.NaN), 0L)
+      else ((0 until gridSize).map(i => r.getLong(i).toDouble / n)
+        .toArray, n)
     }
     val (ca, nA) = cdf(a); val (cb, nB) = cdf(b)
+    if (nA == 0L || nB == 0L)
+      return Seq((colName, Double.NaN, Double.NaN, nA, nB, false))
+        .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
     val ks = ca.zip(cb).map { case (x, y) => math.abs(x - y) }.max
     val eps = 1e-6
     def masses(c: Array[Double]): Array[Double] =

@@ -169,9 +169,9 @@ object Runner {
       }
     }
     import scala.concurrent.duration._
-    scala.concurrent.Await.result(
+    try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures), 24.hours)
-    pool.shutdown()
+    finally pool.shutdown() // non-daemon threads would pin the JVM on failure
     (pending.length, done.size)
   }
 }

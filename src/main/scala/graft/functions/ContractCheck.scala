@@ -467,6 +467,8 @@ object ContractCheck {
       case VNode.OrN(is) => is.map(leaves).sum
       case VNode.Arr(e, _) => leaves(e)
       case VNode.TupArr(is, _, _) => is.map(leaves).sum
+      case VNode.TupStruct(is) => is.map(x => leaves(x._1)).sum
+      case VNode.MapVals(v, _) => leaves(v)
       case VNode.Obj(fs) => fs.map(f => leaves(f.inner)).sum
       case VNode.Field(_, _, _, i) => leaves(i)
       case _ => 0

@@ -67,6 +67,10 @@ object Dedup {
     // verify joins); without a persist each subtree re-tokenizes and
     // re-shingles the corpus (~3x the dominant cost). MEMORY_AND_DISK:
     // spills rather than recomputes at 100 TB partition sizes.
+    // Cache lifecycle: the blocks back the RETURNED (lazy) plan, so this
+    // function cannot unpersist them itself — callers running many dedup
+    // passes in one session should spark.catalog.clearCache() (or
+    // unpersist via spark.sparkContext.getPersistentRDDs) between passes.
     val docs = withNgrams(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = docs.select(col("id"), explode(col("grams")).as("g"))
@@ -119,7 +123,8 @@ object Dedup {
     // and a pushed-down filter would re-expand the whole gram expression
     // (incl. the split) below the projection — measured 2x cost.
     // persisted: the projection feeds the signature agg AND both verify
-    // joins (see ngramJaccardPairs note).
+    // joins (see ngramJaccardPairs note, incl. cache-lifecycle note:
+    // callers own unpersisting once the returned plan is materialized).
     val docs = withNgrams(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // minhashes via explode + aggregation, NOT array HOFs: HOF lambdas

@@ -60,17 +60,24 @@ object Similarity {
   /** Seeded Lloyd k-means over a bounded sample — the coarse quantizer
     * trainer for [[ivfTopK]]. Driver-side over at most `sampleN` vectors
     * (deterministic: lowest-id sample, seeded init), so training cost is
-    * bounded regardless of corpus size; the resulting centroids are
-    * broadcast as literals into the assignment expressions. Uses
-    * spherical k-means (normalize + maximize dot) to match the cosine
-    * metric of the rerank stage. */
+    * bounded regardless of corpus size; the resulting centroids ship to
+    * executors as one codegen reference object (see
+    * [[graft.functions.IvfTopBuckets]]). Uses spherical k-means
+    * (normalize + maximize dot) to match the cosine metric of the
+    * rerank stage.
+    *
+    * `k` is clamped to the training-sample size (≤ `sampleN`): you
+    * cannot train more centroids than sample vectors, so tiny corpora
+    * get n centroids and the √n default past sampleN² vectors caps at
+    * `sampleN` — raise `sampleN` if you genuinely want more. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 8, sampleN: Int = 10000,
                       seed: Long = 42): Array[Array[Double]] = {
     val sample = df.orderBy(col(idCol)).limit(sampleN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.length >= k, s"need >= $k vectors to train $k centroids")
+    if (sample.isEmpty) return Array.empty
+    val kk = math.min(k, sample.length)
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
@@ -84,11 +91,11 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     // k-means++-style seeded init: running min-distance per sample so
     // init is O(sampleN * k * dim), not O(sampleN * k^2 * dim)
-    val cents = new Array[Array[Double]](k)
+    val cents = new Array[Array[Double]](kk)
     cents(0) = xs(rnd.nextInt(xs.length))
     val minD2 = xs.map(x => math.max(1.0 - dotv(cents(0), x), 1e-12))
     var nc = 1
-    while (nc < k) {
+    while (nc < kk) {
       val total = minD2.sum
       var r = rnd.nextDouble() * total; var i = 0
       while (i < xs.length - 1 && r > minD2(i)) { r -= minD2(i); i += 1 }
@@ -103,11 +110,11 @@ object Similarity {
     }
     var cur = cents
     (0 until iters).foreach { _ =>
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
       xs.foreach { x =>
         var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
-        while (ci < k) {
+        while (ci < kk) {
           val s = dotv(cur(ci), x)
           if (s > bestS) { bestS = s; best = ci }
           ci += 1
@@ -136,11 +143,12 @@ object Similarity {
     * rerank from the same quantizer. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
               nCentroids: Int = 0, nProbe: Int = 3,
-              stagingDir: Option[String] = None): DataFrame = {
+              stagingDir: Option[String] = None,
+              sampleN: Int = 10000): DataFrame = {
     val nc =
       if (nCentroids > 0) nCentroids
       else math.max(4, math.ceil(math.sqrt(df.count().toDouble)).toInt)
-    val cents = kmeansCentroids(df, idCol, vecCol, nc)
+    val cents = kmeansCentroids(df, idCol, vecCol, nc, sampleN = sampleN)
     stagingDir.foreach { dir =>
       val spark = df.sparkSession
       import spark.implicits._
@@ -150,15 +158,17 @@ object Similarity {
     }
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
-    // (score, centroid) per centroid, sorted descending by score
-    def scores(vec: Column): Column = reverse(array_sort(
-      array(cents.zipWithIndex.map { case (w, ci) =>
-        struct(dot(vec, array(w.map(lit): _*)).as("s"), lit(ci).as("c"))
-      }: _*)))
+    // top-nProbe (score, centroid) per row, (s desc, c desc) — computed
+    // by one codegen Expression carrying the centroid matrix as a
+    // reference object, so neither the expression tree nor the generated
+    // method grows with nCentroids (the literal-per-weight alternative
+    // hits the 64KB Janino limit near 10³ centroids)
+    def scores(vec: Column): Column =
+      graft.functions.IvfTopBuckets.topBuckets(vec, cents, nProbe)
     val indexed = v.withColumn("bucket",
       element_at(scores(col("vec")), 1).getField("c"))
     val probes = v.select(col("id"), col("vec"), col("nrm"),
-      explode(transform(slice(scores(col("vec")), 1, nProbe),
+      explode(transform(scores(col("vec")),
         e => e.getField("c"))).as("bucket"))
     val cand = probes.as("q").join(
         indexed.select(col("id").as("neighbor"), col("vec").as("vb"),

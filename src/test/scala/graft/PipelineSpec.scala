@@ -143,6 +143,48 @@ class PipelineSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("IvfTopBuckets expression ≡ literal-array scoring (incl. tie " +
+       "order); tiny corpus clamps the quantizer instead of throwing") {
+    import org.apache.spark.sql.Row
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 12)
+    // the composable form the expression replaced — valid only at small
+    // nCentroids (literal nodes grow as nCentroids × dim)
+    val litForm = slice(reverse(array_sort(
+      array(cents.zipWithIndex.map { case (w, ci) =>
+        struct(Similarity.dot(col("embedding"),
+          array(w.map(lit): _*)).as("s"), lit(ci).as("c")) }: _*))), 1, 5)
+    val exprForm = graft.functions.IvfTopBuckets.topBuckets(
+      col("embedding"), cents, 5)
+    emb.select(litForm.as("a"), exprForm.as("b")).collect().foreach { r =>
+      assert(r.getSeq[Row](0) == r.getSeq[Row](1),
+        s"expression diverged from literal scoring: $r")
+    }
+    // n < default minimum centroids: √n heuristic used to hit the
+    // kmeans require(); now clamps k to the corpus size
+    val tiny = emb.orderBy("vec_id").limit(3).cache()
+    val out = Similarity.ivfTopK(tiny, "vec_id", "embedding", k = 2,
+      nCentroids = 0, nProbe = 2).collect()
+    assert(out.forall(_.getAs[Int]("rank") <= 2))
+    tiny.unpersist()
+  }
+
+  test("IVF survives nCentroids >= 1000 (reference-object centroids — " +
+       "the literal form overflowed 64KB codegen here)") {
+    val n = 5000L; val dim = 8
+    val vec = array((0 until dim).map(d =>
+      (pmod(xxhash64(col("id"), lit(d)), lit(1000)) / lit(500.0) - 1.0)
+        .cast("float")): _*)
+    val df = spark.range(0, n, 1, 8)
+      .select(col("id").as("vec_id"), vec.as("embedding")).cache()
+    df.count()
+    val out = Similarity.ivfTopK(df, "vec_id", "embedding", k = 3,
+      nCentroids = 1200, nProbe = 3, sampleN = 2000)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("rank") <= 3))
+    df.unpersist()
+  }
+
   test("minhash-LSH oracle precondition: recall == 1 on the driver " +
        "dataset (sf0.01)") {
     // the driver's dedup_minhash_lsh oracle asserts LSH == exact join;
