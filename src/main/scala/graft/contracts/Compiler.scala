@@ -395,11 +395,17 @@ object Compiler {
     val entries = transform(combined, (x, i) =>
       concat(lit("["), (i + 1).cast(StringType), lit("] --\n"),
         x.getField("r"), lit(": "), assembleMessage(x.getField("v"))))
-    concat(
+    // Interpreted: this tree (per-branch collect-all + message assembly,
+    // replicated per or-node) is what used to push generated methods past
+    // Janino's 64KB limit on or-heavy contracts, silently deoptimizing
+    // the whole stage. As one interpreted call it costs nothing on
+    // conforming rows (it sits under when(allFail, …)) and keeps the
+    // surrounding traversal codegen'd.
+    graft.functions.Interpreted(concat(
       lit("none of the contracts passed:\n" +
         o.branches.map(b => s" - ${b.render}").mkString("\n") +
         "\n\nThe failures were:\n"),
-      array_join(entries, "\n\n"), lit("\n"))
+      array_join(entries, "\n\n"), lit("\n")))
   }
 
   /** declared-field checks of an object contract over a struct, in
@@ -614,7 +620,30 @@ object Compiler {
         val fieldsAll = (checks :+ strictViols).reduce(concat(_, _))
         when(col.isNull, array(viol(f, "object", lit("null"))))
           .otherwise(fieldsAll)
-      case MapType(StringType, _, _) => asArray(firstViol(o, dt, col, f))
+      case MapType(StringType, vt, _) =>
+        // dynamic (map-typed) rows recurse declared fields like the
+        // struct path — the reference's collecting fail gathers every
+        // field failure (contract.impl.js:440-452); round-2 fell back to
+        // first-violation-only here, truncating or-message aggregation
+        // over dynamic rows
+        val selfRender = render(dt, col)
+        val checks = o.fields.toSeq.map { case (fname, fc) =>
+          val childF = Frame.field(f, fname)
+          val child = element_at(col, fname)
+          peelOptional(fc) match {
+            case Some(inner) =>
+              when(child.isNotNull, allViols(inner, vt, child, childF))
+                .otherwise(emptyViols)
+            case None =>
+              when(child.isNull,
+                array(requiredViol(fname, childF, f, selfRender,
+                  lit("null"))))
+                .otherwise(allViols(fc, vt, child, childF))
+          }
+        }
+        when(col.isNull, array(viol(f, "object", lit("null"))))
+          .otherwise(checks.reduceOption(concat(_, _))
+            .getOrElse(emptyViols))
       case _ =>
         // inside an or-branch the reference's collecting fail gathers
         // BOTH the firstChecker failure and, since nestedChecker still
@@ -648,8 +677,16 @@ object Compiler {
   // instead). Only evaluated on failing rows (inside when(fail, …)).
   // ---------------------------------------------------------------------
 
+  /** Interpreted-wrapped (graft.functions.Interpreted): renders sit
+    * under when(fail, …) guards — failure-only work — yet inlined they
+    * dominated generated-code SIZE (quoting/number-format/depth recursion
+    * replicated per violation site) and pushed whole-stage methods past
+    * Janino's 64KB limit: whole-stage codegen cannot method-split one
+    * expression (locals, no INPUT_ROW). As interpreted calls the hot
+    * traversal stays compiled (row-based expression codegen, which CAN
+    * split) and conforming rows never execute a render. */
   def render(dt: DataType, col: Column): Column =
-    clip(renderDepth(dt, col, MaxRenderDepth))
+    graft.functions.Interpreted(clip(renderDepth(dt, col, MaxRenderDepth)))
 
   private def clip(c: Column): Column =
     when(length(c) > MaxRenderLen,

@@ -189,6 +189,13 @@ class MessageParitySpec extends SparkTestBase {
         C.obj("kind" -> C.value("image"), "r" -> C.string))))
   }
 
+  test("parity: or over a DYNAMIC (map-typed) object lists EVERY field " +
+       "failure of the object branch (collect-all over MapType)") {
+    assertGolden("or_obj_dynamic_collect", checkValue(
+      "map('x', 'a', 'y', '5')",
+      C.or(C.obj("x" -> C.number, "y" -> C.value("ok")), C.string)))
+  }
+
   // --- renders (toString parity) ---
   test("parity: contract renderings match reference toString") {
     assert(C.obj("x" -> C.array(C.value(5)),
