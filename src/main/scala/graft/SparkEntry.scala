@@ -776,14 +776,22 @@ object SparkEntry {
         |SELECT id, rank, neighbor, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
 
-    // stub decode is modular arithmetic over octet_length — recompute
-    // the per-mime aggregates from the staged payloads.
+    // image/png rows carry REAL PNGs decoded with ImageIO — the oracle
+    // re-derives their dimensions STRUCTURALLY from the IHDR header
+    // bytes (width at bytes 17-20 big-endian, height at 21-24 — hex
+    // chars 33-40 / 41-48), fully independent of the JVM decoder. The
+    // remaining mimes use the documented modular-arithmetic stub over
+    // octet_length.
     "mm_features" ->
       """SELECT mime, count(*) AS n,
         |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
-        |  CAST(min(16 + (octet_length(payload) * 7919) % 1024) AS INT)
+        |  CAST(min(CASE WHEN mime = 'image/png'
+        |    THEN CAST(('0x' || substring(hex(payload), 33, 8)) AS INTEGER)
+        |    ELSE 16 + (octet_length(payload) * 7919) % 1024 END) AS INT)
         |    AS min_w,
-        |  CAST(max(16 + (octet_length(payload) * 104729) % 1024) AS INT)
+        |  CAST(max(CASE WHEN mime = 'image/png'
+        |    THEN CAST(('0x' || substring(hex(payload), 41, 8)) AS INTEGER)
+        |    ELSE 16 + (octet_length(payload) * 104729) % 1024 END) AS INT)
         |    AS max_h
         |FROM read_parquet('/tmp/graft_gen/sf0.01/media_payload/*.parquet')
         |GROUP BY mime ORDER BY mime""".stripMargin,

@@ -33,7 +33,8 @@ object Frame {
   * Or-failure aggregation (contract.impl.js:455-471) embeds fully
   * assembled inner messages, which is why compilation needs all three. */
 case class MsgEnv(thing: String, rootRepr: String,
-                  rootRender: Option[Column])
+                  rootRender: Option[Column],
+                  blameLine: Option[String] = None)
 object MsgEnv {
   def apply(thing: String, root: Contract): MsgEnv =
     MsgEnv(thing, root.render, None)
@@ -152,7 +153,9 @@ object Compiler {
     *    full-value rendering off (the at-scale default; parity mode
     *    enables it). */
   def assembleMessage(v: Column)(implicit env: MsgEnv): Column = {
-    val blame = s"check on `${env.thing}` failed:"
+    // wrapping mode (published members) overrides the blame line with
+    // caller-/callee-blame per the reference (contract-errors.js:163-169)
+    val blame = env.blameLine.getOrElse(s"check on `${env.thing}` failed:")
     val kind = v.getField("kind")
     val expectedLine = kind === "e" || kind === "t"
     val head = when(expectedLine,

@@ -14,7 +14,7 @@ import scala.collection.immutable.ListMap
 final class ContractRegistry(val module: String) {
 
   case class Entry(name: String, contract: Contract, doc: String,
-                   category: String)
+                   category: String, returns: Option[Contract] = None)
 
   private var entries: ListMap[String, Entry] = ListMap.empty
   private var categories: ListMap[String, String] = ListMap.empty
@@ -48,6 +48,24 @@ final class ContractRegistry(val module: String) {
     this
   }
 
+  /** declare the RESULT contract of the most recently registered member
+    * — the `.returns` half of the reference's function contracts
+    * (function-contracts.js:146-152 checks the wrapped function's result
+    * without reversing blame, so failures blame the member). Fluent:
+    * `register("m", in).returns(out)`. */
+  def returns(c: Contract): this.type = {
+    entries.lastOption match {
+      case None => throw new ContractLibraryError(
+        "returns() requires a preceding register()")
+      case Some((name, e)) =>
+        entries += name -> e.copy(returns = Some(c))
+        this
+    }
+  }
+
+  def returnsOf(name: String): Option[Contract] =
+    entries.get(name).flatMap(_.returns)
+
   def apply(name: String): Contract =
     entries.getOrElse(name,
       throw new ContractLibraryError(s"unknown contract `$name`"))
@@ -74,8 +92,10 @@ final class ContractRegistry(val module: String) {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n") + "\""
     val items = entries.values.map { e =>
+      val ret = e.returns.map(r => s", \"returns\": ${q(r.render)}")
+        .getOrElse("")
       s"${q(e.name)}: {\"repr\": ${q(e.contract.render)}, " +
-        s"\"doc\": ${q(e.doc)}, \"category\": ${q(e.category)}}"
+        s"\"doc\": ${q(e.doc)}, \"category\": ${q(e.category)}$ret}"
     }
     s"{\"module\": ${q(module)}, \"contracts\": {${items.mkString(", ")}}}"
   }

@@ -42,19 +42,30 @@ object Uniqueness {
   /** duplicate rows as violations: every row whose key is duplicated,
     * reported in the reference's violation shape.
     *
-    * ONE shuffle: a window count over the key partition replaces the
-    * groupBy + semi-join shape (two exchanges of the key column) —
-    * measured faster on the flagship, and NULL keys group together
-    * under the window natively (an equi-join would silently drop
-    * them). Skewed hot keys land in one window partition; at
-    * pathological skew use [[duplicates]] (map-side partial collapses
-    * hot keys) + an explicit join instead. */
-  def violations(df: DataFrame, keyCol: String, thing: String = "data")
-      : DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol))
-    df.withColumn("_n_dups", count(lit(1)).over(w))
-      .where(col("_n_dups") > 1)
+    * Count-join shape, skew-proof by construction: [[duplicates]]
+    * reduces the fact to the duplicated-key set first — map-side
+    * partial aggregation collapses even a billion-row hot key to one
+    * partial per map task, so the only full pass over the fact is the
+    * join back, and that side never shuffles when AQE broadcasts the
+    * (almost always tiny) duplicate-key set. The round-2 window-count
+    * alternative shuffled the ENTIRE fact by key and serialized a hot
+    * key into a single window partition — the north_rule's named skew
+    * case. Null keys survive via the null-safe join condition (`<=>`
+    * hashes null like a value; a plain equi-join would drop them).
+    * `broadcastDups`: None = AQE decides from runtime size (default),
+    * Some(true) = force broadcast, Some(false) = leave to the shuffle
+    * join (AQE skew-split applies if the dup set itself is huge). */
+  def violations(df: DataFrame, keyCol: String, thing: String = "data",
+                 saltBuckets: Int = 0,
+                 broadcastDups: Option[Boolean] = None): DataFrame = {
+    val dups = duplicates(df, keyCol, saltBuckets)
+      .select(col(keyCol).as("_dup_key"))
+    val dim = broadcastDups match {
+      case Some(true) => broadcast(dups)
+      case Some(false) => dups.hint("shuffle_merge")
+      case None => dups // AQE decides from its size estimate
+    }
+    df.join(dim, col(keyCol) <=> col("_dup_key"), "inner")
       .select(
         col(keyCol).cast("string").as("doc_id"),
         lit("." + keyCol).as("path"),

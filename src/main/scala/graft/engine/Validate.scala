@@ -151,6 +151,48 @@ object Validate {
     df
   }
 
+  /** wrapped-member enforcement (see [[Publish]]): blame follows the
+    * reference's wrapping mode (contract-errors.js:163-169; messages
+    * captured by executing the reference) — input failures blame the
+    * CALLER ("broke the contract on `m()`:"), result failures blame the
+    * MEMBER ("`m()` broke its contract:"), and result-side frames carry
+    * the '.result' / "for the return value of the call." stack item
+    * (contract-errors.js:23, function-contracts.js:146-152). `fnRepr`
+    * is the function-contract rendering shown in the `in contract:`
+    * clause. The reference's "(contract was wrapped at: file:line)"
+    * line is a JS-stack artifact and is not reproduced. Returns `df`
+    * unchanged on success. */
+  def checkMemberOrThrow(df: DataFrame, contract: ObjectC, idCol: String,
+                         member: String, fnRepr: String,
+                         isResult: Boolean): DataFrame = {
+    val blame =
+      if (isResult) s"`$member()` broke its contract:"
+      else s"broke the contract on `$member()`:"
+    // wrapping mode has no "The full value being checked was:" section
+    // (contract-errors.js:182-198 gates on !context.wrapping)
+    implicit val env: MsgEnv =
+      MsgEnv(member, fnRepr, None, Some(blame))
+    val frame =
+      if (isResult) Frame.root.push(lit(".result"),
+        lit("for the return value of the call."))
+      else Frame.root
+    val v = Compiler.objectViols(contract, df.schema, f => col(f), frame,
+      Compiler.render(StructType(df.schema.fields),
+        struct(df.columns.map(col): _*)))
+    val id: Column =
+      if (df.columns.contains(idCol)) col(idCol).cast("string")
+      else lit(null).cast("string") // member may project the id away
+    val first = df.withColumn("_v", v).where(col("_v").isNotNull)
+      .select(id.as("doc_id"), col("_v.path").as("path"),
+        Compiler.assembleMessage(col("_v")).as("message"))
+      .limit(1).collect()
+    if (first.nonEmpty)
+      throw new ContractViolationException(
+        first(0).getAs[String]("message"),
+        first(0).getAs[String]("doc_id"), first(0).getAs[String]("path"))
+    df
+  }
+
   /** single-column convenience: validate one column against any contract */
   def columnViolations(df: DataFrame, colName: String, contract: Contract,
                        idCol: String, thing: String = "data",

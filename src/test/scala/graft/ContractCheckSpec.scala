@@ -125,6 +125,35 @@ class ContractCheckSpec extends SparkTestBase {
     assertEquivalent(df, C.obj("b" -> C.hash(C.any), "a" -> C.tuple(C.any)))
   }
 
+  test("codegen verdict ≡ generic: hash value leaf with NO structural " +
+       "twin elsewhere (MapVals leaf indexing regression)") {
+    // a map whose value contract appears nowhere else in the plan: the
+    // leaf must be indexed through the MapVals walk itself — it used to
+    // be reachable only when a structurally-equal leaf happened to be
+    // registered under another field
+    val c = C.obj("h" -> C.hash(C.value(42L)), "x" -> C.string)
+    assertEquivalent(fix("map('k', 41L) as h, 'a' as x"), c)
+    assertEquivalent(fix("map('k', 42L) as h, 'a' as x"), c,
+      expectSomeViol = false)
+  }
+
+  test("codegen verdict ≡ generic on a 500-leaf contract (method-split " +
+       "codegen — round 2 fell back to the generic compile here)") {
+    // 50 fields × and(10 leaves) = 500 leaves: each Obj/AndN past the
+    // split threshold is hoisted into its own generated method, so
+    // CODEGEN_ONLY (forced inside assertEquivalent) would fail if any
+    // method overflowed 64KB or the emit were wrong
+    val nf = 50
+    val contract = C.obj((0 until nf).map { i =>
+      s"f$i" -> (C.and(Seq.fill(9)(C.integer: Contract) :+
+        (C.between(0, 1000000): Contract): _*): Contract)
+    }: _*)
+    val cols = (0 until nf).map(i =>
+      s"${if (i == 7) -5 else i * 3} as f$i").mkString(", ")
+    val df = fix(cols) // f7 = -5 violates between(0, 1000000)
+    assertEquivalent(df, contract)
+  }
+
   test("property: codegen verdict ≡ generic over random contracts") {
     import org.scalacheck.Gen
     val leavesLong: Seq[Contract] = Seq(C.integer, C.number,

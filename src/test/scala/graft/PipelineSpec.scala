@@ -228,18 +228,40 @@ class PipelineSpec extends SparkTestBase {
     assert(d.where(col("n_dups") <= 1).count() == 0)
   }
 
-  test("multimodal: stub decode is deterministic, schema typed, batched") {
+  test("multimodal: decode is deterministic, schema typed, batched; " +
+       "PNG dims are REAL (ImageIO round-trip ≡ IHDR header bytes)") {
     val media = gen.SpanGen.media(spark, 500)
     val a = Multimodal.extractFeatures(Multimodal.withPayload(media), 64)
       .orderBy("media_id").collect()
     val b = Multimodal.extractFeatures(Multimodal.withPayload(media), 7)
       .orderBy("media_id").collect()
     assert(a.length == 500)
-    // batch size must not affect results (pure per-record stub)
+    // batch size must not affect results (pure per-record decode)
     assert(a.zip(b).forall { case (x, y) =>
       x.media_id == y.media_id && x.width == y.width &&
         x.embedding.sameElements(y.embedding) })
     assert(a.forall(f => f.embedding.length == 8 && f.byte_len > 0))
+    // image/png rows: decoded dimensions must equal the IHDR header
+    // fields parsed structurally from the payload bytes (the same
+    // independent check the DuckDB oracle runs)
+    val pngs = Multimodal.withPayload(media)
+      .where(col("mime") === "image/png").collect()
+    assert(pngs.nonEmpty)
+    val feats = a.filter(_.mime == "image/png")
+      .map(f => f.media_id -> f).toMap
+    pngs.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert((p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte, "not a PNG")
+      def be32(off: Int) = ((p(off) & 0xff) << 24) |
+        ((p(off + 1) & 0xff) << 16) | ((p(off + 2) & 0xff) << 8) |
+        (p(off + 3) & 0xff)
+      val f = feats(r.getAs[String]("media_id"))
+      assert(f.width == be32(16) && f.height == be32(20),
+        s"${f.media_id}: ImageIO (${f.width}x${f.height}) != header " +
+          s"(${be32(16)}x${be32(20)})")
+      assert(f.width >= 1 && f.width <= 48 && f.height >= 1 &&
+        f.height <= 48)
+    }
   }
 
   test("langid marks language-less vocab docs deterministically") {

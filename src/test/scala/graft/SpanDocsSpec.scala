@@ -90,6 +90,26 @@ class SpanDocsSpec extends SparkTestBase {
     assert(viols.count(_.isNullAt(0)) == 2)
   }
 
+  test("uniqueness violations: planted hot key is skew-proof — " +
+       "count-join shape (no Window), fact side broadcast-joined") {
+    // the north_rule's named skew case: one crawler-grade doc_id
+    // repeated across half the corpus. The window-count shape would
+    // shuffle all n rows and serialize the hot key into ONE partition;
+    // the count-join shape reduces to the dup-key set first (map-side
+    // partials) and broadcast-joins it back — no fact shuffle at all.
+    val n = 200000L
+    val df = spark.range(0, n, 1, 8).select(
+      when(col("id") % 2 === 0, lit("doc-hot"))
+        .otherwise(concat(lit("u-"), col("id"))).as("doc_id"))
+    val viols = Uniqueness.violations(df, "doc_id")
+    assert(viols.count() == n / 2)
+    val plan = viols.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"hot key back in a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("AdaptiveSparkPlan"),
+      s"expected dup-set broadcast (or AQE to pick it):\n$plan")
+  }
+
   test("span-sequence equality invariant: validation mutates nothing") {
     val docs = SpanGen.docs(spark, 300, 4,
       defects = SpanGen.Defects(badKind = true, rate = 50)).cache()

@@ -78,13 +78,48 @@ class SurfaceSpec extends SparkTestBase {
     val bad = fix("'z' as x").withColumn("id", lit(2))
     val e = intercept[graft.engine.ContractViolationException](
       api("gate")(bad).collect())
-    assert(e.getMessage.startsWith("check on `gate` failed:"))
+    // wrapping mode blames the CALLER on input violations
+    // (contract-errors.js:167-168, captured from the executed reference)
+    assert(e.getMessage.startsWith("broke the contract on `gate()`:"))
     // non-object contracts cannot bind rows → rejected at publish time
     val r2 = new ContractRegistry("graft.test3")
     r2.register("leaf", C.string)
     intercept[ContractLibraryError](
       graft.engine.Publish.wrapAll(r2, "id")(Map(
         "leaf" -> ((df: org.apache.spark.sql.DataFrame) => df))))
+  }
+
+  test("publish .returns: result violations blame the MEMBER with the " +
+       "'.result' frame (reference callee-blame shape)") {
+    val r = new ContractRegistry("graft.test4")
+    r.register("member1", C.obj("k" -> C.string))
+      .returns(C.obj("k" -> C.string, "n" -> C.number))
+    val api = graft.engine.Publish.wrapAll(r, "id")(Map(
+      "member1" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("n", lit("oops"))))) // violates returns(n: number)
+    val in = fix("'ok' as k").withColumn("id", lit(1))
+    val e = intercept[graft.engine.ContractViolationException](
+      api("member1")(in))
+    // shape captured by EXECUTING the reference (probe: c.fun(...)
+    // .returns(...).wrap(...)): callee blame + Expected line + field
+    // frame + '.result' position + the function-contract rendering.
+    // (the reference's "(contract was wrapped at: file:line)" line is a
+    // JS-stack artifact, not reproduced)
+    assert(e.getMessage ==
+      "`member1()` broke its contract:\n" +
+        "Expected number, but got 'oops'\n" +
+        "for the field `n` of the object\n" +
+        "at position .result\n" +
+        "in contract:\n" +
+        "c.fun({ df: c.object({k: c.string}) } -> " +
+        "c.object({k: c.string, n: c.number}))\n",
+      s"got:\n${e.getMessage}")
+    assert(e.path == ".result.n")
+    // a conforming member passes through unchanged
+    val ok = graft.engine.Publish.wrapAll(r, "id")(Map(
+      "member1" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("n", lit(2.0)))))
+    assert(ok("member1")(in).columns.contains("n"))
   }
 
   test("referential: default lets AQE choose (no forced broadcast hint)") {
