@@ -14,7 +14,9 @@ import scala.collection.immutable.ListMap
 final class ContractRegistry(val module: String) {
 
   case class Entry(name: String, contract: Contract, doc: String,
-                   category: String, returns: Option[Contract] = None)
+                   category: String, returns: Option[Contract] = None,
+                   inputs: Seq[Contract] = Nil,
+                   extra: Option[Contract] = None)
 
   private var entries: ListMap[String, Entry] = ListMap.empty
   private var categories: ListMap[String, String] = ListMap.empty
@@ -47,6 +49,52 @@ final class ContractRegistry(val module: String) {
     entries += name -> Entry(name, contract, doc, cat)
     this
   }
+
+  /** register a MULTI-INPUT member — the arity-window analog of the
+    * reference's `c.fn(argC, …)` function contracts
+    * (function-contracts.js:28-67, :370-373): one contract per input
+    * frame, where trailing inputs may be `optional(...)` (the call may
+    * omit them). A non-optional input after an optional one is rejected
+    * at registration with the reference's exact wording — including its
+    * own `th`-for-every-index quirk (checkOptionalArgumentFormals,
+    * function-contracts.js:13-27). */
+  def registerMulti(name: String, inputs: Seq[Contract],
+                    doc: String = "", category: String = ""): this.type = {
+    var optionalsSeen = false
+    inputs.zipWithIndex.foreach { case (c, i) =>
+      val isOpt = c.isInstanceOf[OptionalC]
+      if (optionalsSeen && !isOpt)
+        throw new ContractLibraryError(
+          s"fun: The non-optional ${i}th arguments cannot follow an " +
+            "optional arguments.")
+      optionalsSeen = optionalsSeen || isOpt
+    }
+    if (inputs.isEmpty)
+      throw new ContractLibraryError(
+        s"registerMulti `$name` requires at least one input contract")
+    register(name, inputs.head, doc, category)
+    entries += name -> entries(name).copy(inputs = inputs)
+    this
+  }
+
+  /** declare the contract each EXTRA input beyond the declared window
+    * must satisfy (the `extraArgs` analog, function-contracts.js:
+    * 161-165) for the most recently registered multi-input member. */
+  def extraInputs(c: Contract): this.type = {
+    entries.lastOption match {
+      case Some((name, e)) if e.inputs.nonEmpty =>
+        entries += name -> e.copy(extra = Some(c))
+        this
+      case _ => throw new ContractLibraryError(
+        "extraInputs() requires a preceding registerMulti()")
+    }
+  }
+
+  def inputsOf(name: String): Seq[Contract] =
+    entries.get(name).map(_.inputs).getOrElse(Nil)
+
+  def extraOf(name: String): Option[Contract] =
+    entries.get(name).flatMap(_.extra)
 
   /** declare the RESULT contract of the most recently registered member
     * — the `.returns` half of the reference's function contracts
@@ -94,8 +142,12 @@ final class ContractRegistry(val module: String) {
     val items = entries.values.map { e =>
       val ret = e.returns.map(r => s", \"returns\": ${q(r.render)}")
         .getOrElse("")
+      val ins =
+        if (e.inputs.isEmpty) ""
+        else e.inputs.map(i => q(i.render))
+          .mkString(", \"inputs\": [", ", ", "]")
       s"${q(e.name)}: {\"repr\": ${q(e.contract.render)}, " +
-        s"\"doc\": ${q(e.doc)}, \"category\": ${q(e.category)}$ret}"
+        s"\"doc\": ${q(e.doc)}, \"category\": ${q(e.category)}$ret$ins}"
     }
     s"{\"module\": ${q(module)}, \"contracts\": {${items.mkString(", ")}}}"
   }

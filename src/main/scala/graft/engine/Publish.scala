@@ -54,4 +54,93 @@ object Publish {
         }
       }
     }
+
+  /** MULTI-INPUT member enforcement — the data-plane analog of the
+    * reference's `c.fn(argC…)` arity window (function-contracts.js:
+    * 28-67): each call supplies a Seq of input frames; the count is
+    * checked against the declared required/optional window (exact count
+    * when no optionals and no extras), each supplied input is checked
+    * against its positional contract under the `.arg(i)` frame, extras
+    * against the `extraInputs` contract under the extra-argument frame,
+    * and a declared `.returns` checks the result. Count and input
+    * failures blame the CALLER; result failures blame the member.
+    * Message text matches output captured by executing the reference
+    * (minus its "(contract was wrapped at: file:line)" JS-stack line).
+    * Members of `reg` declared via plain `register` are ignored here —
+    * they are single-input and wrap through [[wrapAll]]. */
+  def wrapAllMulti(reg: ContractRegistry, idCol: String)
+                  (impl: Map[String, Seq[DataFrame] => DataFrame])
+      : Map[String, Seq[DataFrame] => DataFrame] = {
+    val multiNames = reg.names.filter(reg.inputsOf(_).nonEmpty)
+    multiNames.find(!impl.contains(_)).foreach { missing =>
+      throw new ContractLibraryError(
+        s"publish: no implementation for declared contract `$missing`")
+    }
+    impl.keys.find(!multiNames.contains(_)).foreach { unknown =>
+      throw new ContractLibraryError(
+        s"publish: `$unknown` is not a declared multi-input contract")
+    }
+    multiNames.map { name =>
+      val declared = reg.inputsOf(name)
+      def unwrap(c: Contract): Contract = c match {
+        case OptionalC(inner) => inner
+        case other => other
+      }
+      def asObject(cc: Contract, side: String): ObjectC =
+        unwrap(cc) match {
+          case o: ObjectC => o
+          case other => throw new ContractLibraryError(
+            s"publish enforcement requires an object contract for the " +
+              s"$side of `$name`, got ${other.render}")
+        }
+      val inCs = declared.zipWithIndex.map { case (c, i) =>
+        (asObject(c, s"input $i"), c.isInstanceOf[OptionalC])
+      }
+      val extraC = reg.extraOf(name).map(asObject(_, "extra inputs"))
+      val retC = reg.returnsOf(name).map(asObject(_, "result"))
+      val nReq = inCs.count(!_._2)
+      val nDecl = inCs.size
+      // the reference's fn rendering: c.fn(argC, …[...extraArrayC] ->
+      // resultC), result defaulting to c.any(); extras render as the
+      // reference's `extraArgs(c.array(perItemC))` form with the "..."
+      // separator (captured goldens arity_obj_arg_field,
+      // arity_extra_obj_field)
+      val fnRepr = s"c.fn(${declared.map(_.render).mkString(", ")}" +
+        reg.extraOf(name).map(e => s"...c.array(${e.render})")
+          .getOrElse("") +
+        s" -> ${retC.map(_.render).getOrElse(AnyC.render)})"
+      val blame = s"broke the contract on `$name()`:"
+      val fn = impl(name)
+      name -> { (dfs: Seq[DataFrame]) =>
+        val m = dfs.size
+        // checkOptionalArgumentCount, function-contracts.js:28-67 —
+        // message text byte-matches the executed reference
+        def countFail(msg: String): Nothing =
+          throw new ContractViolationException(s"$blame $msg\n", null,
+            null)
+        if (nReq == nDecl && extraC.isEmpty) {
+          if (m != nReq) countFail(
+            s"Wrong number of arguments, expected $nReq but got $m")
+        } else if (m < nReq) countFail(
+          s"Too few arguments, expected at least $nReq but got $m")
+        else if (extraC.isEmpty && m > nDecl) countFail(
+          s"Too many arguments, expected at most $nDecl but got $m")
+        val checked = dfs.zipWithIndex.map { case (df, i) =>
+          if (i < nDecl)
+            Validate.checkMemberOrThrow(df, inCs(i)._1, idCol, name,
+              fnRepr, isResult = false, argFrame = Some((i, false)))
+          else
+            Validate.checkMemberOrThrow(df, extraC.get, idCol, name,
+              fnRepr, isResult = false,
+              argFrame = Some((i - nDecl, true)))
+        }
+        val out = fn(checked)
+        retC match {
+          case Some(r) => Validate.checkMemberOrThrow(out, r, idCol,
+            name, fnRepr, isResult = true)
+          case None => out
+        }
+      }
+    }.toMap
+  }
 }

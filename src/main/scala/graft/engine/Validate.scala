@@ -164,7 +164,9 @@ object Validate {
     * unchanged on success. */
   def checkMemberOrThrow(df: DataFrame, contract: ObjectC, idCol: String,
                          member: String, fnRepr: String,
-                         isResult: Boolean): DataFrame = {
+                         isResult: Boolean,
+                         argFrame: Option[(Int, Boolean)] = None)
+      : DataFrame = {
     val blame =
       if (isResult) s"`$member()` broke its contract:"
       else s"broke the contract on `$member()`:"
@@ -172,10 +174,19 @@ object Validate {
     // (contract-errors.js:182-198 gates on !context.wrapping)
     implicit val env: MsgEnv =
       MsgEnv(member, fnRepr, None, Some(blame))
-    val frame =
-      if (isResult) Frame.root.push(lit(".result"),
+    // multi-input members stack the reference's argument frame
+    // (stackContextItems.argument, contract-errors.js:12-18; extras:
+    // :209-216 render "… extra argument of the call.")
+    val frame = argFrame match {
+      case Some((i, isExtra)) =>
+        if (isExtra) Frame.root.push(lit(s".extraArguments[$i]"),
+          lit(s"for the ${Compiler.ithS(i)} extra argument of the call."))
+        else Frame.root.push(lit(s".arg($i)"),
+          lit(s"for the ${Compiler.ithS(i)} argument of the call."))
+      case None if isResult => Frame.root.push(lit(".result"),
         lit("for the return value of the call."))
-      else Frame.root
+      case None => Frame.root
+    }
     val v = Compiler.objectViols(contract, df.schema, f => col(f), frame,
       Compiler.render(StructType(df.schema.fields),
         struct(df.columns.map(col): _*)))

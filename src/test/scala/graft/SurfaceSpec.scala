@@ -398,4 +398,138 @@ class SurfaceSpec extends SparkTestBase {
     assert(viols.select("doc_id").as[String].collect().toSet ==
       Set("2", "3"))
   }
+
+  // --- multi-input members: the arity-window analog of c.fn(argC, …)
+  // (function-contracts.js:28-67). Goldens captured by EXECUTING the
+  // reference; its "(contract was wrapped at: file:line)" line is a
+  // JS-stack artifact, stripped before comparison. ---
+
+  private lazy val arityGoldens: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/reference_messages.json")
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val it = m.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next(); b += e.getKey -> e.getValue.asText
+    }
+    b.result()
+  }
+
+  private def golden(key: String): String =
+    arityGoldens(key)
+      .replaceAll("\\(contract was wrapped at: [^)]*\\)\n", "")
+
+  test("registerMulti formals: required input after optional rejected " +
+       "with the reference's exact (quirky) wording") {
+    val r = new ContractRegistry("graft.arity0")
+    val e = intercept[ContractLibraryError](
+      r.registerMulti("m", Seq(C.optional(C.obj("a" -> C.number)),
+        C.obj("b" -> C.string))))
+    assert(golden("arity_formals_error").startsWith(e.getMessage))
+  }
+
+  test("wrapAllMulti: exact-arity members reject wrong input counts " +
+       "(reference count-message bytes)") {
+    val r = new ContractRegistry("graft.arity1")
+    r.registerMulti("member", Seq(C.obj("x" -> C.number),
+      C.obj("y" -> C.string)))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head)))
+    val d1 = fix("1.0 as x").withColumn("id", lit(1))
+    val d2 = fix("'ok' as y").withColumn("id", lit(1))
+    val eFew = intercept[ContractViolationException](
+      api("member")(Seq(d1)))
+    assert(eFew.getMessage == golden("arity_exact_too_few"))
+    val eMany = intercept[ContractViolationException](
+      api("member")(Seq(d1, d2, d2)))
+    assert(eMany.getMessage == golden("arity_exact_too_many"))
+    // conforming call passes each input through the checks unchanged
+    assert(api("member")(Seq(d1, d2)).columns.contains("x"))
+  }
+
+  test("wrapAllMulti: optional-input window enforces [required, " +
+       "required+optional] bounds (reference bytes)") {
+    val r = new ContractRegistry("graft.arity2")
+    r.registerMulti("member", Seq(C.obj("x" -> C.number),
+      C.optional(C.obj("y" -> C.string)),
+      C.optional(C.obj("z" -> C.bool))))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head)))
+    val d1 = fix("1.0 as x").withColumn("id", lit(1))
+    val d2 = fix("'ok' as y").withColumn("id", lit(1))
+    val d3 = fix("true as z").withColumn("id", lit(1))
+    val eFew = intercept[ContractViolationException](
+      api("member")(Seq.empty))
+    assert(eFew.getMessage == golden("arity_window_too_few"))
+    val eMany = intercept[ContractViolationException](
+      api("member")(Seq(d1, d2, d3, d3)))
+    assert(eMany.getMessage == golden("arity_window_too_many"))
+    // omitting trailing optionals is fine
+    assert(api("member")(Seq(d1)).columns.contains("x"))
+    assert(api("member")(Seq(d1, d2)).columns.contains("x"))
+  }
+
+  test("wrapAllMulti: a failing field of the i-th input renders the " +
+       ".arg(i) frame + fn contract (reference bytes)") {
+    val r = new ContractRegistry("graft.arity3")
+    r.registerMulti("member", Seq(C.obj("x" -> C.number),
+      C.obj("y" -> C.string)))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head)))
+    val d1 = fix("1.0 as x").withColumn("id", lit(1))
+    val bad2 = fix("42 as y").withColumn("id", lit(2))
+    val e = intercept[ContractViolationException](
+      api("member")(Seq(d1, bad2)))
+    assert(e.getMessage == golden("arity_obj_arg2_field"),
+      s"got:\n${e.getMessage}\nwant:\n${golden("arity_obj_arg2_field")}")
+    assert(e.path == ".arg(1).y")
+  }
+
+  test("wrapAllMulti: extras check against extraInputs under the " +
+       "extra-argument frame (reference bytes)") {
+    val r = new ContractRegistry("graft.arity4")
+    r.registerMulti("member", Seq(C.obj("x" -> C.number)))
+      .extraInputs(C.obj("y" -> C.string))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head)))
+    val d1 = fix("1.0 as x").withColumn("id", lit(1))
+    val ok = fix("'ok' as y").withColumn("id", lit(1))
+    val bad = fix("33 as y").withColumn("id", lit(2))
+    val e = intercept[ContractViolationException](
+      api("member")(Seq(d1, ok, bad)))
+    assert(e.getMessage == golden("arity_extra_obj_field"),
+      s"got:\n${e.getMessage}\nwant:\n${golden("arity_extra_obj_field")}")
+    assert(e.path == ".extraArguments[1].y")
+    // extras lift the upper bound entirely
+    assert(api("member")(Seq(d1, ok, ok, ok)).columns.contains("x"))
+  }
+
+  test("wrapAllMulti: declared .returns checks the result with callee " +
+       "blame; publish completeness enforced") {
+    val r = new ContractRegistry("graft.arity5")
+    r.registerMulti("member", Seq(C.obj("x" -> C.number)))
+      .returns(C.obj("x" -> C.number, "n" -> C.number))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head.withColumn("n", lit("oops")))))
+    val d1 = fix("1.0 as x").withColumn("id", lit(1))
+    val e = intercept[ContractViolationException](
+      api("member")(Seq(d1)))
+    assert(e.getMessage.startsWith("`member()` broke its contract:"))
+    assert(e.path == ".result.n")
+    // missing implementation and unknown member are publish-time errors
+    intercept[ContractLibraryError](
+      graft.engine.Publish.wrapAllMulti(r, "id")(Map.empty))
+    intercept[ContractLibraryError](
+      graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+        "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+          dfs.head),
+        "ghost" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+          dfs.head))))
+  }
 }
