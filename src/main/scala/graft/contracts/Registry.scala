@@ -16,7 +16,8 @@ final class ContractRegistry(val module: String) {
   case class Entry(name: String, contract: Contract, doc: String,
                    category: String, returns: Option[Contract] = None,
                    inputs: Seq[Contract] = Nil,
-                   extra: Option[Contract] = None)
+                   extra: Option[Contract] = None,
+                   inputNames: Seq[String] = Nil)
 
   private var entries: ListMap[String, Entry] = ListMap.empty
   private var categories: ListMap[String, String] = ListMap.empty
@@ -76,6 +77,24 @@ final class ContractRegistry(val module: String) {
     entries += name -> entries(name).copy(inputs = inputs)
     this
   }
+
+  /** register a multi-input member with NAMED inputs — the analog of
+    * the reference's `c.fun({name: c}, …)` named-argument variant
+    * (function-contracts.js:375-435). Same arity-window semantics as
+    * [[registerMulti]]; violation frames use the input's NAME
+    * (`.media` / "for the `media` argument of the call.") and the
+    * contract renders in the braced `c.fun({ name: … }, …)` form. The
+    * reference's exactly-one-key arg-spec guard (:376-404) is subsumed
+    * by the (String, Contract) pair type. */
+  def registerNamed(name: String, inputs: Seq[(String, Contract)],
+                    doc: String = "", category: String = ""): this.type = {
+    registerMulti(name, inputs.map(_._2), doc, category)
+    entries += name -> entries(name).copy(inputNames = inputs.map(_._1))
+    this
+  }
+
+  def inputNamesOf(name: String): Seq[String] =
+    entries.get(name).map(_.inputNames).getOrElse(Nil)
 
   /** declare the contract each EXTRA input beyond the declared window
     * must satisfy (the `extraArgs` analog, function-contracts.js:

@@ -100,12 +100,21 @@ object Publish {
       val retC = reg.returnsOf(name).map(asObject(_, "result"))
       val nReq = inCs.count(!_._2)
       val nDecl = inCs.size
-      // the reference's fn rendering: c.fn(argC, …[...extraArrayC] ->
-      // resultC), result defaulting to c.any(); extras render as the
-      // reference's `extraArgs(c.array(perItemC))` form with the "..."
-      // separator (captured goldens arity_obj_arg_field,
-      // arity_extra_obj_field)
-      val fnRepr = s"c.fn(${declared.map(_.render).mkString(", ")}" +
+      // the reference's renderings (captured goldens
+      // arity_obj_arg_field, arity_extra_obj_field,
+      // fun_named_arg_field): positional `c.fn(argC, … -> resultC)`,
+      // named `c.fun({ name: argC }, … -> resultC)`, result defaulting
+      // to c.any(); extras render as the reference's
+      // `extraArgs(c.array(perItemC))` form with the "..." separator
+      val inNames = reg.inputNamesOf(name)
+      val argsRepr =
+        if (inNames.nonEmpty)
+          declared.zip(inNames).map { case (c, n) =>
+            s"{ $n: ${c.render} }"
+          }.mkString(", ")
+        else declared.map(_.render).mkString(", ")
+      val ctor = if (inNames.nonEmpty) "c.fun" else "c.fn"
+      val fnRepr = s"$ctor($argsRepr" +
         reg.extraOf(name).map(e => s"...c.array(${e.render})")
           .getOrElse("") +
         s" -> ${retC.map(_.render).getOrElse(AnyC.render)})"
@@ -128,7 +137,8 @@ object Publish {
         val checked = dfs.zipWithIndex.map { case (df, i) =>
           if (i < nDecl)
             Validate.checkMemberOrThrow(df, inCs(i)._1, idCol, name,
-              fnRepr, isResult = false, argFrame = Some((i, false)))
+              fnRepr, isResult = false, argFrame = Some((i, false)),
+              argName = inNames.lift(i))
           else
             Validate.checkMemberOrThrow(df, extraC.get, idCol, name,
               fnRepr, isResult = false,

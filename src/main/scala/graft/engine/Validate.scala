@@ -165,7 +165,8 @@ object Validate {
   def checkMemberOrThrow(df: DataFrame, contract: ObjectC, idCol: String,
                          member: String, fnRepr: String,
                          isResult: Boolean,
-                         argFrame: Option[(Int, Boolean)] = None)
+                         argFrame: Option[(Int, Boolean)] = None,
+                         argName: Option[String] = None)
       : DataFrame = {
     val blame =
       if (isResult) s"`$member()` broke its contract:"
@@ -181,8 +182,14 @@ object Validate {
       case Some((i, isExtra)) =>
         if (isExtra) Frame.root.push(lit(s".extraArguments[$i]"),
           lit(s"for the ${Compiler.ithS(i)} extra argument of the call."))
-        else Frame.root.push(lit(s".arg($i)"),
-          lit(s"for the ${Compiler.ithS(i)} argument of the call."))
+        else argName match {
+          // named-arg variant (stackContextItems.argument with a
+          // thingName, contract-errors.js:12-18): `.name` short frame
+          case Some(n) => Frame.root.push(lit(s".$n"),
+            lit(s"for the `$n` argument of the call."))
+          case None => Frame.root.push(lit(s".arg($i)"),
+            lit(s"for the ${Compiler.ithS(i)} argument of the call."))
+        }
       case None if isResult => Frame.root.push(lit(".result"),
         lit("for the return value of the call."))
       case None => Frame.root

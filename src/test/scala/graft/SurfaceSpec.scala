@@ -509,6 +509,43 @@ class SurfaceSpec extends SparkTestBase {
     assert(api("member")(Seq(d1, ok, ok, ok)).columns.contains("x"))
   }
 
+  test("registerNamed: named inputs render `.name` frames and the " +
+       "braced c.fun form (reference bytes)") {
+    val r = new ContractRegistry("graft.arity6")
+    r.registerNamed("member", Seq(
+      "docs" -> C.obj("x" -> C.number),
+      "media" -> C.obj("y" -> C.string)))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head)))
+    val d1 = fix("1.0 as x").withColumn("id", lit(1))
+    val bad2 = fix("42 as y").withColumn("id", lit(2))
+    val e = intercept[ContractViolationException](
+      api("member")(Seq(d1, bad2)))
+    assert(e.getMessage == golden("fun_named_arg_field"),
+      s"got:\n${e.getMessage}\nwant:\n${golden("fun_named_arg_field")}")
+    assert(e.path == ".media.y")
+    val eFew = intercept[ContractViolationException](
+      api("member")(Seq(d1)))
+    assert(eFew.getMessage == golden("fun_named_too_few"))
+  }
+
+  test("registerNamed + .returns: callee-blame result failure renders " +
+       "the full c.fun({ … } -> …) contract (reference bytes)") {
+    val r = new ContractRegistry("graft.arity7")
+    r.registerNamed("member", Seq("docs" -> C.obj("x" -> C.number)))
+      .returns(C.obj("x" -> C.number, "n" -> C.number))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head.withColumn("n", lit("oops")))))
+    val d1 = fix("1.0 as x").withColumn("id", lit(1))
+    val e = intercept[ContractViolationException](
+      api("member")(Seq(d1)))
+    assert(e.getMessage == golden("fun_named_returns_field"),
+      s"got:\n${e.getMessage}\nwant:\n${golden("fun_named_returns_field")}")
+    assert(e.path == ".result.n")
+  }
+
   test("wrapAllMulti: declared .returns checks the result with callee " +
        "blame; publish completeness enforced") {
     val r = new ContractRegistry("graft.arity5")
