@@ -138,4 +138,60 @@ object SpanDocs {
   def spanChecksum(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       xxhash64(to_json(col("spans"))).as("span_checksum"))
+
+  /** the media-catalog contract: what `validateAll` requires of its
+    * second input (referential dim). Kept STRUCTURAL + cheap — the
+    * catalog is small by design, so the call-time check is a dim-sized
+    * scan, not a fact-sized one. */
+  val mediaCatalog: ObjectC = C.obj(
+    "media_id" -> C.and(C.string, C.matches("^media-[0-9]+$")))
+
+  /** structural gate for the docs input — deliberately SHALLOW (doc_id
+    * string + spans present): the deep span contract is what
+    * `validate_all` *evaluates*, so enforcing it on the input would
+    * pre-run the member's own job; the gate only rejects frames of the
+    * wrong shape outright. */
+  val docsShape: ObjectC = C.obj(
+    "doc_id" -> C.string,
+    "spans" -> C.pred("spans is an array")(c => c.isNotNull))
+
+  /** the Violation row shape `validate_all` promises to return
+    * ([[Violation]]). */
+  val violationShape: ObjectC = C.obj(
+    "doc_id" -> C.optional(C.string),
+    "path" -> C.optional(C.string),
+    "expected" -> C.optional(C.string),
+    "got" -> C.optional(C.string),
+    "contract_repr" -> C.optional(C.string),
+    "message" -> C.string)
+
+  /** The flagship as a PUBLISHED MODULE — the full reference publish
+    * surface on the engine's own entry point (contract.impl.js:824-846
+    * + function-contracts.js named `fun` form): `validate_all` is a
+    * named two-input member (`docs`, `media`) with an arity window of
+    * exactly 2, input gates checked at call time under `.docs`/`.media`
+    * frames (caller blame), and a `.returns` violation-shape contract
+    * on the result (callee blame). The registry's manifest records the
+    * member's full `c.fun({ docs: … }, { media: … } -> …)` rendering
+    * alongside every validation run. */
+  lazy val module: ContractRegistry = {
+    val r = new ContractRegistry("graft.spandocs")
+    r.documentCategory("validation", "end-to-end span-table validation")
+    r.registerNamed("validate_all", Seq(
+        "docs" -> docsShape, "media" -> mediaCatalog),
+        doc = "contract + uniqueness + referential violations")
+      .returns(violationShape)
+    r
+  }
+
+  /** wrapped façade over [[validateAll]]: `api("validate_all")(Seq(docs,
+    * media))`. NOTE the cost model of the reference's eager wrap
+    * semantics in a lazy engine: the input gates scan each input once
+    * (docs: 2 pruned columns; media: dim-sized) and the `.returns` gate
+    * evaluates the member's result plan once at call time — callers that
+    * will re-consume the result should cache it first, or use
+    * [[validateAll]] directly on the hot path (the bench does). */
+  lazy val api: Map[String, Seq[DataFrame] => DataFrame] =
+    Publish.wrapAllMulti(module, "doc_id")(Map(
+      "validate_all" -> { dfs => validateAll(dfs(0), dfs(1)) }))
 }

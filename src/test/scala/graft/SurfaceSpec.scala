@@ -546,6 +546,33 @@ class SurfaceSpec extends SparkTestBase {
     assert(e.path == ".result.n")
   }
 
+  test("SpanDocs.module: the flagship is a published named two-input " +
+       "member with input gates, .returns, and manifest rendering") {
+    import graft.gen.SpanGen
+    val docs = SpanGen.docs(spark, 200, 2,
+      defects = SpanGen.Defects(badKind = true, rate = 50))
+    val media = SpanGen.media(spark, 50)
+    // the façade runs the real pipeline: planted defects surface
+    val viols = SpanDocs.api("validate_all")(Seq(docs, media))
+    assert(viols.count() > 0)
+    assert(viols.columns.contains("message"))
+    // arity window is exact: 2 inputs
+    val eArity = intercept[ContractViolationException](
+      SpanDocs.api("validate_all")(Seq(docs)))
+    assert(eArity.getMessage.contains(
+      "Wrong number of arguments, expected 2 but got 1"))
+    // a malformed media catalog is caller-blamed under the `.media` frame
+    val badMedia = fix("'not-a-media-id' as media_id")
+    val eMedia = intercept[ContractViolationException](
+      SpanDocs.api("validate_all")(Seq(docs, badMedia)))
+    assert(eMedia.getMessage.startsWith(
+      "broke the contract on `validate_all()`:"))
+    assert(eMedia.path.startsWith(".media."))
+    // the manifest records the full named fun rendering
+    val man = SpanDocs.module.toManifestJson
+    assert(man.contains("validate_all") && man.contains("inputs"))
+  }
+
   test("wrapAllMulti: declared .returns checks the result with callee " +
        "blame; publish completeness enforced") {
     val r = new ContractRegistry("graft.arity5")
