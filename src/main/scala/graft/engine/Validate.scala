@@ -194,13 +194,25 @@ object Validate {
         lit("for the return value of the call."))
       case None => Frame.root
     }
-    val v = Compiler.objectViols(contract, df.schema, f => col(f), frame,
-      Compiler.render(StructType(df.schema.fields),
-        struct(df.columns.map(col): _*)))
+    // The probe runs over an RDD ANALYSIS BARRIER, not the member's
+    // plan directly: when the checked frame's columns are themselves
+    // large compiled expressions (a member returning a violations
+    // frame), composing the shape check on top lets the optimizer
+    // inline the member's expression trees into every probe reference,
+    // and the action-time plan stringification (SQL listener events)
+    // then walks a combinatorially blown-up tree — minutes of driver
+    // CPU on toString alone. Behind the barrier the member's plan is a
+    // leaf; the probe's own plan stays probe-sized. The ORIGINAL df is
+    // returned for chaining, so downstream composition/pushdown is
+    // unaffected; the barrier exists only inside this one gate job.
+    val probe = df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val v = Compiler.objectViols(contract, probe.schema, f => col(f),
+      frame, Compiler.render(StructType(probe.schema.fields),
+        struct(probe.columns.map(col): _*)))
     val id: Column =
-      if (df.columns.contains(idCol)) col(idCol).cast("string")
+      if (probe.columns.contains(idCol)) col(idCol).cast("string")
       else lit(null).cast("string") // member may project the id away
-    val first = df.withColumn("_v", v).where(col("_v").isNotNull)
+    val first = probe.withColumn("_v", v).where(col("_v").isNotNull)
       .select(id.as("doc_id"), col("_v.path").as("path"),
         Compiler.assembleMessage(col("_v")).as("message"))
       .limit(1).collect()

@@ -53,6 +53,46 @@ object StreamingValidate {
     }
   }
 
+  /** streaming distribution-drift: tumbling-window KLL sketches of a
+    * numeric column, each compared against a BASELINE sketch (serialized
+    * bytes — e.g. from a batch [[graft.engine.Drift.sketch]] persisted
+    * with a run manifest) using the same KS/PSI definitions as the batch
+    * path. The per-row work is the codegen'd cast/filter plus an O(1)
+    * sketch update riding Spark's streaming aggregation state; the
+    * comparison runs once per CLOSED WINDOW (append mode), so the scalar
+    * UDF here executes once per window row, never in the per-row hot
+    * path. Emits (window_start, window_end, n, ks, psi, pass). */
+  def windowedDrift(stream: DataFrame, valueCol: String, tsCol: String,
+                    window: String, watermark: String,
+                    baseline: Array[Byte], ksThreshold: Double = 0.1,
+                    psiThreshold: Double = 0.2): DataFrame = {
+    require(baseline != null && baseline.nonEmpty,
+      "windowedDrift requires a non-empty serialized baseline sketch")
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val sketchAgg = udaf(new graft.engine.Drift.KllAgg())
+    val cmp = udf((bytes: Array[Byte]) => {
+      val r = graft.engine.Drift.compare(
+        KllDoublesSketch.heapify(Memory.wrap(baseline)),
+        KllDoublesSketch.heapify(Memory.wrap(bytes)))
+      (r.ks, r.psi)
+    })
+    // watermark AFTER the cast projection (watermark column identity
+    // must survive into the aggregation)
+    stream.select(col(tsCol), col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(sketchAgg(col("_v")).as("_sketch"),
+        count(lit(1)).as("n"))
+      .withColumn("_d", cmp(col("_sketch")))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"),
+        col("_d._1").as("ks"), col("_d._2").as("psi"),
+        (col("_d._1") <= ksThreshold && col("_d._2") <= psiThreshold)
+          .as("pass"))
+  }
+
   /** streaming per-window pass/fail summary for event-timestamped
     * documents: watermarked tumbling-window aggregation. */
   def windowedSummary(stream: DataFrame, contract: ObjectC,

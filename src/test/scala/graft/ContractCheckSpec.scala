@@ -183,4 +183,57 @@ class ContractCheckSpec extends SparkTestBase {
     contracts.foreach(c => assertEquivalent(df, c,
       expectSomeViol = false))
   }
+
+  test("property: codegen verdict ≡ generic over random DEEP-NESTED " +
+       "contracts (array-of-struct, map-of-struct, struct-of-struct)") {
+    import org.scalacheck.Gen
+    // fixed 3-level schema; contracts vary randomly at every level —
+    // the class of hole this hunts is exactly the round-3 MapVals
+    // leaf-indexing bug (leaves reachable only through nested
+    // composite nodes)
+    val rows = Seq(
+      "1 as a, named_struct('x', 5L, 'ys', array('aa','bb')) as s, " +
+        "array(named_struct('k','aa','n',1L)) as arr, " +
+        "map('p', named_struct('q', 2L)) as m",
+      "0 as a, named_struct('x', cast(null as bigint), 'ys', " +
+        "array(cast(null as string))) as s, " +
+        "array(named_struct('k','zz','n',-1L), " +
+        "named_struct('k',cast(null as string),'n',3L)) as arr, " +
+        "map('p', named_struct('q', cast(null as bigint))) as m",
+      "cast(null as bigint) as a, " +
+        "cast(null as struct<x:bigint, ys:array<string>>) as s, " +
+        "cast(null as array<struct<k:string,n:bigint>>) as arr, " +
+        "cast(null as map<string,struct<q:bigint>>) as m",
+      "7 as a, named_struct('x', 0L, 'ys', array()) as s, " +
+        "array() as arr, map() as m")
+    val df = rows.map(fix).reduce(_ unionByName _)
+    val leafL: Gen[Contract] = Gen.oneOf[Contract](C.integer, C.number,
+      C.value(5L), C.truthy, C.any, C.pred("pos")(x => x > 0))
+    val leafS: Gen[Contract] = Gen.oneOf[Contract](C.string,
+      C.matches("^a"), C.value("aa"), C.oneOf("aa", "bb"), C.any)
+    def deco(g: Gen[Contract]): Gen[Contract] = g.flatMap(l =>
+      Gen.oneOf(l, C.optional(l), C.or(l, C.value(-42L)),
+        C.and(l, C.any)))
+    val gS: Gen[Contract] = for {
+      x <- deco(leafL); y <- deco(leafS)
+      useStrict <- Gen.oneOf(true, false)
+      o = C.obj("x" -> x, "ys" -> C.array(y))
+    } yield if (useStrict) o.strict else o
+    val gArrItem: Gen[Contract] = for {
+      k <- deco(leafS); n <- deco(leafL)
+      useOr <- Gen.oneOf(true, false)
+      o = C.obj("k" -> k, "n" -> n)
+    } yield if (useOr) C.or(o, C.value("sentinel")) else o
+    val gM: Gen[Contract] = for { q <- deco(leafL) }
+      yield C.hash(C.obj("q" -> q))
+    val contracts = Gen.listOfN(30, for {
+      a <- deco(leafL); s <- gS; item <- gArrItem; m <- gM
+      sWrap <- Gen.oneOf[Contract => Contract](
+        (c: Contract) => c, (c: Contract) => C.optional(c))
+    } yield C.obj("a" -> a, "s" -> sWrap(s),
+      "arr" -> C.array(item), "m" -> m)).sample.get
+    contracts.foreach(c =>
+      assertEquivalent(df, c.asInstanceOf[ObjectC],
+        expectSomeViol = false))
+  }
 }

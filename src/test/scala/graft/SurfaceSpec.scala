@@ -284,6 +284,38 @@ class SurfaceSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_failed")).sum == 1)
   }
 
+  test("streaming: windowed drift compares per-window KLL sketches " +
+       "against a batch baseline (KS/PSI)") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    // baseline: uniform 1..100, sketched by the BATCH drift path
+    val baseline = graft.engine.Drift.sketch(
+      (1 to 100).map(_.toDouble).toDF("v"), "v").toByteArray
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "v")
+    val out = StreamingValidate.windowedDrift(df, "v", "ts",
+      "10 minutes", "5 minutes", baseline)
+    val q = out.writeStream.format("memory").queryName("wd")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // window A: same distribution as baseline → no drift
+    mem.addData((1 to 100).map(i => (ts(10, 1), i.toDouble)): _*)
+    // window B: shifted by +1000 → drifts
+    mem.addData((1 to 100).map(i => (ts(10, 11), 1000.0 + i)): _*)
+    // late heartbeat advances the watermark so both windows close
+    mem.addData((ts(11, 0), 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wd").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[Long]("n"), r.getAs[Boolean]("pass"))).sortBy(_._1)
+    assert(rows.length == 2, s"expected 2 closed windows, got ${rows.toSeq}")
+    assert(rows(0)._2 == 100 && rows(0)._3, s"window A should pass: ${rows(0)}")
+    assert(rows(1)._2 == 100 && !rows(1)._3, s"window B should drift: ${rows(1)}")
+  }
+
   test("streaming: stateful dedup via flatMapGroupsWithState emits " +
        "duplicates across micro-batches") {
     val sqlCtx = spark.sqlContext
