@@ -163,6 +163,10 @@ final class ContractRegistry(val module: String) {
         .getOrElse("")
       val ins =
         if (e.inputs.isEmpty) ""
+        else if (e.inputNames.nonEmpty)
+          e.inputs.zip(e.inputNames)
+            .map { case (i, n) => s"{${q(n)}: ${q(i.render)}}" }
+            .mkString(", \"inputs\": [", ", ", "]")
         else e.inputs.map(i => q(i.render))
           .mkString(", \"inputs\": [", ", ", "]")
       s"${q(e.name)}: {\"repr\": ${q(e.contract.render)}, " +

@@ -29,6 +29,13 @@ object Publish {
              (impl: Map[String, DataFrame => DataFrame])
       : Map[String, DataFrame => DataFrame] =
     reg.publish(impl).map { case (name, (fn, c)) =>
+      // a multi-input member's Entry.contract is only its FIRST input;
+      // wrapping it single-input would silently skip the rest of the
+      // window — reject at publish time, route through wrapAllMulti
+      if (reg.inputsOf(name).nonEmpty)
+        throw new ContractLibraryError(
+          s"`$name` declares ${reg.inputsOf(name).size} inputs — " +
+            "publish it through wrapAllMulti, not wrapAll")
       def asObject(cc: Contract, side: String): ObjectC = cc match {
         case o: ObjectC => o
         case other => throw new ContractLibraryError(

@@ -73,6 +73,9 @@ object Uniqueness {
         col(keyCol).cast("string").as("got"),
         lit(s"unique($keyCol)").as("contract_repr"),
         concat(lit(s"check on `$thing` failed: Expected unique `$keyCol`, " +
-          s"but got duplicate "), col(keyCol).cast("string")).as("message"))
+          s"but got duplicate "),
+          // a duplicated NULL key must still render a message (concat
+          // null-propagates); util.inspect renders null as 'null'
+          coalesce(col(keyCol).cast("string"), lit("null"))).as("message"))
   }
 }

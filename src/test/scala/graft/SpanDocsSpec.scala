@@ -88,6 +88,11 @@ class SpanDocsSpec extends SparkTestBase {
     val viols = Uniqueness.violations(df, "k").collect()
     assert(viols.length == 4, s"want all 4 duplicated rows, got $viols")
     assert(viols.count(_.isNullAt(0)) == 2)
+    // the message must render for NULL keys too (concat null-propagates
+    // without the coalesce; util.inspect renders null as 'null')
+    assert(viols.forall(!_.isNullAt(5)))
+    assert(viols.filter(_.isNullAt(0)).forall(
+      _.getString(5).endsWith("got duplicate null")))
   }
 
   test("uniqueness violations: planted hot key is skew-proof — " +

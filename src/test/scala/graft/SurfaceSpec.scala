@@ -621,6 +621,11 @@ class SurfaceSpec extends SparkTestBase {
     // missing implementation and unknown member are publish-time errors
     intercept[ContractLibraryError](
       graft.engine.Publish.wrapAllMulti(r, "id")(Map.empty))
+    // a multi-input member cannot slip through single-input wrapAll
+    // (its Entry.contract is only the first input of the window)
+    intercept[ContractLibraryError](
+      graft.engine.Publish.wrapAll(r, "id")(Map(
+        "member" -> ((df: org.apache.spark.sql.DataFrame) => df))))
     intercept[ContractLibraryError](
       graft.engine.Publish.wrapAllMulti(r, "id")(Map(
         "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
