@@ -720,7 +720,7 @@ object Compiler {
         if (depth < 0) lit("[Object]")
         else if (sfs.isEmpty) lit("{}")
         else concat(lit("{ "),
-          concat_ws(", ", sfs.map(sf => concat(lit(sf.name + ": "),
+          concat_ws(", ", sfs.toSeq.map(sf => concat(lit(sf.name + ": "),
             renderDepth(sf.dataType, col.getField(sf.name), depth - 1))): _*),
           lit(" }"))
       case MapType(_, vt, _) =>

@@ -147,7 +147,7 @@ object Drift {
       val aggs = grid.zipWithIndex.map { case (g, i) =>
         sum(when(col("v") <= g, 1L).otherwise(0L)).as(s"c$i")
       } :+ count(lit(1)).as("n")
-      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val r = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
       val n = r.getLong(gridSize)
       if (n == 0L) (Array.fill(gridSize)(Double.NaN), 0L)
       else ((0 until gridSize).map(i => r.getLong(i).toDouble / n)

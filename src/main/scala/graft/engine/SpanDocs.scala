@@ -74,7 +74,7 @@ object SpanDocs {
       // (the fast path's slow-path payloads are compared bit-for-bit)
       val rowRender = graft.contracts.Compiler.render(
         org.apache.spark.sql.types.StructType(df.schema.fields),
-        struct(df.columns.map(col): _*))
+        struct(df.columns.toSeq.map(col): _*))
       val docIdViol = {
         val dt = df.schema("doc_id").dataType
         graft.contracts.Compiler.objectViols(

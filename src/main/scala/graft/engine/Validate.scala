@@ -58,7 +58,7 @@ object Validate {
 
   private def rowRender(df: DataFrame): Column =
     Compiler.render(StructType(df.schema.fields),
-      struct(df.columns.map(col): _*))
+      struct(df.columns.toSeq.map(col): _*))
 
   private def msgEnv(df: DataFrame, contract: ObjectC, thing: String,
                      withFullValue: Boolean): MsgEnv =
@@ -208,7 +208,7 @@ object Validate {
     val probe = df.sparkSession.createDataFrame(df.rdd, df.schema)
     val v = Compiler.objectViols(contract, probe.schema, f => col(f),
       frame, Compiler.render(StructType(probe.schema.fields),
-        struct(probe.columns.map(col): _*)))
+        struct(probe.columns.toSeq.map(col): _*)))
     val id: Column =
       if (probe.columns.contains(idCol)) col(idCol).cast("string")
       else lit(null).cast("string") // member may project the id away

@@ -16,7 +16,7 @@ object ViolationOps {
                     thing: String = "data"): DataFrame = {
     implicit val env: MsgEnv = MsgEnv(thing, contract)
     val rowType = org.apache.spark.sql.types.StructType(df.schema.fields)
-    val rowCol = struct(df.columns.map(col): _*)
+    val rowCol = struct(df.columns.toSeq.map(col): _*)
     val vs = Compiler.allViols(contract, rowType, rowCol, Frame.root)
     df.withColumn("_vs", vs)
       .where(size(col("_vs")) > 0)

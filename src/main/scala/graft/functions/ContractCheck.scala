@@ -526,7 +526,7 @@ object ContractCheck {
         .toIndexedSeq: _*)))
     val bound = VerdictCompiler.bindRowProbe(
       probe.select(genericCol.as("__gv__")), rowType)
-    val rowStruct = struct(df.columns.map(col): _*)
+    val rowStruct = struct(df.columns.toSeq.map(col): _*)
     GraftColumnBridge.column(ContractCheck(
       GraftColumnBridge.expression(rowStruct), plan, bound))
   }

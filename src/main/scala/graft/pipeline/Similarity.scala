@@ -197,7 +197,7 @@ object Similarity {
   /** sign-bit bucket id of a vector under one table's hyperplanes. */
   private def bucket(vec: Column, table: IndexedSeq[Array[Double]]): Column =
     table.zipWithIndex.map { case (w, i) =>
-      val wLit = array(w.map(lit): _*)
+      val wLit = array(w.toSeq.map(lit): _*)
       when(dot(vec, wLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 

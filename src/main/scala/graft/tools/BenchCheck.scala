@@ -52,7 +52,7 @@ object BenchCheck {
     val nf = 35
     val wideC = C.obj((0 until nf).map { i =>
       s"f$i" -> (C.and(Seq.fill(9)(C.integer: Contract) :+
-        (C.between(0, Long.MaxValue / 2): Contract): _*): Contract)
+        (C.between(0, (Long.MaxValue / 2).toDouble): Contract): _*): Contract)
     }: _*)
     val nWide = 200000L
     val wide = spark.range(0, nWide, 1, 4)
