@@ -108,8 +108,12 @@ object Bench {
     // preferring steal-clean samples, estimates the unloaded number.
     val vruns = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     var vi = 0
-    while (vi < 10 && (vi < 3 || !vruns.exists(_._2 <= stealMax))) {
+    while (vi < 16 && (vi < 3 || !vruns.exists(_._2 <= stealMax))) {
       vruns += timeSteal { runValidate(cached); () }
+      // steal bursts last tens of seconds to minutes: when the run was
+      // contaminated, waiting beats burning the retry budget inside the
+      // same burst (measured: 10 back-to-back retries all landed dirty)
+      if (vruns.last._2 > stealMax && vi >= 2) Thread.sleep(12000)
       vi += 1
     }
     val cleanV = vruns.filter(_._2 <= stealMax)
