@@ -77,6 +77,27 @@ object Drift {
       .agg(agg(col(colName).cast("double")).as("sketch"))
   }
 
+  /** persist a sketch as a one-row parquet alongside a run's outputs —
+    * the durable BASELINE a later batch ([[check]]) or stream
+    * ([[graft.streaming.StreamingValidate.windowedDrift]]) compares
+    * against. Parquet (not a bare file) so the same Hadoop-FS paths,
+    * permissions, and object-store semantics as every other engine
+    * artifact apply. */
+  def saveSketch(spark: SparkSession, sketch: KllDoublesSketch,
+                 path: String, colName: String): Unit = {
+    import spark.implicits._
+    Seq((colName, sketch.getN, sketch.toByteArray))
+      .toDF("column", "n", "sketch")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** load a sketch persisted by [[saveSketch]]; merging across runs is
+    * `loadSketch(a).merge(loadSketch(b))` (KLL merge is exact in n). */
+  def loadSketch(spark: SparkSession, path: String): KllDoublesSketch = {
+    val row = spark.read.parquet(path).select("sketch").head()
+    KllDoublesSketch.heapify(Memory.wrap(row.getAs[Array[Byte]](0)))
+  }
+
   case class DriftResult(ks: Double, psi: Double, nA: Long, nB: Long)
 
   /** Kolmogorov-Smirnov statistic (sup |cdfA - cdfB|) and Population

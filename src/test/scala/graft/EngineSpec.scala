@@ -61,6 +61,24 @@ class EngineSpec extends SparkTestBase {
     assert(math.abs(merged.getQuantile(0.5) - direct.getQuantile(0.5)) < 1.0)
   }
 
+  test("sketch persistence: save/load round-trips bytes; merged runs " +
+       "accumulate n exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sk")
+      .toString
+    val a = SpanGen.docs(spark, 1500, 4)
+      .select(size(col("spans")).cast("double").as("v"))
+    val sk = Drift.sketch(a, "v")
+    Drift.saveSketch(spark, sk, s"$tmp/baseline", "v")
+    val back = Drift.loadSketch(spark, s"$tmp/baseline")
+    assert(back.getN == sk.getN)
+    assert(java.util.Arrays.equals(back.toByteArray, sk.toByteArray))
+    // no drift against itself; cross-run merge accumulates n exactly
+    val r = Drift.compare(back, sk)
+    assert(r.ks == 0.0)
+    back.merge(Drift.loadSketch(spark, s"$tmp/baseline"))
+    assert(back.getN == 2 * sk.getN)
+  }
+
   test("kill/resume: completed partitions are not recomputed; outputs " +
        "are byte-identical to an uninterrupted run") {
     val tmp = Files.createTempDirectory("graft-resume").toString

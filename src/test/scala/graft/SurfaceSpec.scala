@@ -316,6 +316,68 @@ class SurfaceSpec extends SparkTestBase {
     assert(rows(1)._2 == 100 && !rows(1)._3, s"window B should drift: ${rows(1)}")
   }
 
+  test("streaming: MinHash-LSH near-dup detects a near-copy across " +
+       "micro-batches, ignores unrelated docs") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.StatefulDedup.nearDuplicates(df,
+      threshold = 0.7)
+    val q = out.writeStream.format("memory").queryName("nd")
+      .outputMode("append").start()
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearCopy = (1 to 39).map(i => s"tok$i").mkString(" ") + " CHANGED"
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    // sub-shingle-length docs must neither crash (all-null minhash)
+    // nor flood a degenerate bucket
+    mem.addData(("A", base), ("C", unrelated), ("S1", "x"), ("S2", "x"))
+    q.processAllAvailable()
+    mem.addData(("B", nearCopy)) // second micro-batch: state must carry
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("nd")
+      .select("doc_id", "matches_id", "est_jaccard").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set(("B", "A")),
+      s"want exactly B~A, got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 >= 0.7))
+  }
+
+  test("streaming: near-dup horizon expires bucket state — a copy " +
+       "arriving past the horizon is not reported") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = graft.streaming.StatefulDedup.nearDuplicatesWithHorizon(
+      df, "ts", "30 minutes", threshold = 0.7)
+    val q = out.writeStream.format("memory").queryName("ndh")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val beat = (200 to 240).map(i => s"beat$i").mkString(" ")
+    mem.addData((ts(10, 0), "A", base))
+    q.processAllAvailable()
+    // heartbeat advances the watermark far past A's horizon
+    mem.addData((ts(11, 30), "H", beat))
+    q.processAllAvailable()
+    // D is an exact copy of A but arrives after A's state expired
+    mem.addData((ts(11, 31), "D", base))
+    q.processAllAvailable()
+    // E copies D within the horizon: still detected
+    mem.addData((ts(11, 32), "E", base))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ndh").select("doc_id", "matches_id")
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSet == Set(("E", "D")),
+      s"want exactly E~D (A expired), got ${pairs.toSeq}")
+  }
+
   test("streaming: stateful dedup via flatMapGroupsWithState emits " +
        "duplicates across micro-batches") {
     val sqlCtx = spark.sqlContext
