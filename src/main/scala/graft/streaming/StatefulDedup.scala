@@ -121,7 +121,9 @@ object StatefulDedup {
             out += NearDupEvent(d.id, prior.id, est, band)
         }
       }
-      docs = (docs :+ d).takeRight(maxPerBucket)
+      // re-arrivals of the same id REPLACE their entry (an exact dup is
+      // [[duplicates]]' job; stacking copies would evict other docs)
+      docs = (docs.filterNot(_.id == d.id) :+ d).takeRight(maxPerBucket)
     }
     state.update(BucketState(docs))
     out.result().iterator
