@@ -142,7 +142,15 @@ object Validate {
     * message applies. */
   def checkOrThrow(df: DataFrame, contract: ObjectC, idCol: String,
                    thing: String = "data"): DataFrame = {
-    val first = violations(df, contract, idCol, thing,
+    // same RDD analysis barrier as checkMemberOrThrow: a caller may
+    // gate a frame whose columns are themselves large compiled
+    // expressions, and composing the check directly would let the
+    // optimizer inline those trees into every probe reference (plan
+    // stringification then walks a blown-up tree for minutes).
+    // Full-value mode renders every column anyway, so the barrier
+    // costs no pruning; the ORIGINAL df is returned for chaining.
+    val probe = df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val first = violations(probe, contract, idCol, thing,
       withFullValue = true).limit(1).collect()
     if (first.nonEmpty)
       throw new ContractViolationException(
