@@ -77,6 +77,16 @@ object SparkEntry {
           "source")
         .orderBy("partition_key")),
 
+    // per-check violation triage sampling: at most k=2 rows per distinct
+    // (path-normalized, expected) check, chosen by doc_id order — the
+    // window-function surface over the violation stream
+    "sample_violations" -> ((s, dir) =>
+      ViolationOps.samplePerCheck(
+          Validate.violations(t(s, dir, "documents"), documentsContract,
+            "doc_id", "documents"), k = 2)
+        .select("doc_id", "path", "expected", "got")
+        .orderBy("path", "expected", "doc_id")),
+
     // uniqueness: duplicate keys with multiplicity (skew-safe agg)
     "uniq_lineitem" -> ((s, dir) =>
       Uniqueness.duplicates(t(s, dir, "lineitem"), "l_orderkey")
@@ -123,6 +133,57 @@ object SparkEntry {
         .select("doc_id", "path", "expected", "got")
         .orderBy("doc_id")
     }),
+
+    // tuple / strict-tuple / hash(map) / dynamic(map-typed)-object /
+    // truthy contracts through collect-ALL (every violation per row,
+    // depth-first `seq` order — ViolationOps.allViolations): staged
+    // deterministic table, oracle replays every check in SQL with the
+    // same ordering. Defect moduli are pairwise coprime so id=0 is the
+    // only row with ALL defects (a seq-ordering witness).
+    "v_shapes_all" -> ((s, dir) => {
+      val base = s.range(0, 2000).select(
+        col("id"),
+        when(pmod(col("id"), lit(97)) === 0, array(lit(1L)))
+          .when(pmod(col("id"), lit(89)) === 0, array(lit(1L), lit(50L)))
+          .otherwise(array(lit(1L), pmod(col("id"), lit(10)))).as("pair"),
+        when(pmod(col("id"), lit(101)) === 0,
+            array(lit("a"), lit("extra")))
+          .otherwise(array(lit("ok"))).as("trip"),
+        when(pmod(col("id"), lit(83)) === 0, map(lit("bad"), lit(500L)))
+          .otherwise(map(lit("k"), pmod(col("id"), lit(100))))
+          .as("attrs"),
+        when(pmod(col("id"), lit(73)) === 0,
+            map(lit("lang"), lit("xx"), lit("src"), lit("ok1")))
+          .when(pmod(col("id"), lit(71)) === 0, map(lit("src"), lit("ok1")))
+          .when(pmod(col("id"), lit(67)) === 0,
+            map(lit("lang"), lit("en"), lit("src"), lit("???")))
+          .otherwise(map(lit("lang"), lit("en"), lit("src"), lit("ok1")))
+          .as("meta"),
+        when(pmod(col("id"), lit(79)) === 0, lit(""))
+          .otherwise(concat(lit("tag"), col("id"))).as("tag"))
+      base.write.mode("overwrite").parquet(s"${genDir(dir)}/shapes")
+      val shapes = s.read.parquet(s"${genDir(dir)}/shapes")
+      val c = C.obj(
+        "pair" -> C.tuple(C.integer, C.between(0, 9)),
+        "trip" -> C.tuple(C.string).strict,
+        "attrs" -> C.hash(C.between(0, 100)),
+        "meta" -> C.obj("lang" -> C.oneOf("en", "es"),
+          "src" -> C.matches("^ok[0-9]+$")),
+        "tag" -> C.truthy)
+      ViolationOps.allViolations(shapes, c, "id", "shapes")
+        .select(col("doc_id"), col("seq"), col("path"), col("expected"),
+          col("got"))
+        .orderBy(col("doc_id").cast("long"), col("seq"))
+    }),
+
+    // uniqueness via the EXPLICIT two-phase salted aggregation (the
+    // skew-spread path for aggregations with non-collapsible partial
+    // state): must produce the same duplicate set as the single-phase
+    // count — oracle-checked equal.
+    "uniq_salted_lineitem" -> ((s, dir) =>
+      Uniqueness.duplicates(t(s, dir, "lineitem"), "l_orderkey",
+          saltBuckets = 8)
+        .orderBy("l_orderkey")),
 
     // classic aggregation sanity (integer-valued sums only)
     "q1_agg" -> ((s, dir) =>
@@ -355,6 +416,44 @@ object SparkEntry {
         |FROM v WHERE path IS NOT NULL ORDER BY CAST(doc_id AS VARCHAR)"""
         .stripMargin,
 
+    // same first-violation derivation as v_documents, then the triage
+    // window: row_number per (index-normalized path, expected), k=2,
+    // ordered by doc_id
+    "sample_violations" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang IS NULL THEN '.lang'
+        |         WHEN lang NOT IN ('en','es','de','fr') THEN '.lang'
+        |         WHEN n_chars IS NULL THEN '.n_chars'
+        |         WHEN NOT (n_chars >= 1 AND n_chars <= 500)
+        |           THEN '.n_chars.and(1)'
+        |         WHEN n_chars <> length(text) THEN '.n_chars.and(2)'
+        |    END AS path,
+        |    CASE WHEN lang IS NULL THEN 'Field `lang`'
+        |         WHEN lang NOT IN ('en','es','de','fr')
+        |           THEN 'oneOf(en, es, de, fr)'
+        |         WHEN n_chars IS NULL THEN 'Field `n_chars`'
+        |         WHEN NOT (n_chars >= 1 AND n_chars <= 500)
+        |           THEN 'between(1, 500)'
+        |         WHEN n_chars <> length(text) THEN 'n_chars = length(text)'
+        |    END AS expected,
+        |    CASE WHEN lang IS NULL THEN 'null'
+        |         WHEN lang NOT IN ('en','es','de','fr')
+        |           THEN '''' || lang || ''''
+        |         WHEN n_chars IS NULL THEN 'null'
+        |         ELSE CAST(n_chars AS VARCHAR)
+        |    END AS got
+        |  FROM documents),
+        |f AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, path, expected, got,
+        |    row_number() OVER (
+        |      PARTITION BY regexp_replace(path, '\[[0-9]+\]', '[]', 'g'),
+        |        expected
+        |      ORDER BY CAST(doc_id AS VARCHAR), path) AS rn
+        |  FROM v WHERE path IS NOT NULL)
+        |SELECT doc_id, path, expected, got FROM f WHERE rn <= 2
+        |ORDER BY path, expected, doc_id""".stripMargin,
+
     "summary_documents" ->
       """WITH f AS (
         |  SELECT source,
@@ -373,6 +472,64 @@ object SparkEntry {
       """SELECT l_orderkey, count(*) AS n_dups FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey"""
         .stripMargin,
+
+    // the salted two-phase aggregation must agree with the plain count
+    "uniq_salted_lineitem" ->
+      """SELECT l_orderkey, count(*) AS n_dups FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey"""
+        .stripMargin,
+
+    // collect-all over the staged shapes table: one row per violation in
+    // the engine's depth-first order (object fields in declared order:
+    // pair, trip, attrs, meta, tag; tuple nodes emit their first
+    // violation only — size gate before positional checks; hash emits
+    // every failing entry; the map-typed `meta` object recurses declared
+    // fields with required-vs-value arms).
+    "v_shapes_all" ->
+      """WITH s AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_gen/sf0.01/shapes/*.parquet')),
+        |v AS (
+        |  SELECT id, 0 AS ord, '.pair' AS path,
+        |    'tuple of size 2' AS expected,
+        |    '[ ' || array_to_string(pair, ', ') || ' ]' AS got
+        |  FROM s WHERE len(pair) < 2
+        |  UNION ALL
+        |  SELECT id, 1, '.pair[1]', 'between(0, 9)',
+        |    CAST(pair[2] AS VARCHAR)
+        |  FROM s WHERE len(pair) >= 2
+        |    AND NOT (pair[2] >= 0 AND pair[2] <= 9)
+        |  UNION ALL
+        |  SELECT id, 2, '.trip', 'tuple of exactly size 1',
+        |    '[ ' || array_to_string(list_transform(trip,
+        |      x -> chr(39) || x || chr(39)), ', ') || ' ]'
+        |  FROM s WHERE len(trip) > 1
+        |  UNION ALL
+        |  SELECT id, 3, '.attrs.' || e.key, 'between(0, 100)',
+        |    CAST(e.value AS VARCHAR)
+        |  FROM (SELECT id, unnest(map_entries(attrs)) AS e FROM s)
+        |  WHERE NOT (e.value >= 0 AND e.value <= 100)
+        |  UNION ALL
+        |  SELECT id, 4, '.meta.lang', 'Field `lang`', 'null'
+        |  FROM s WHERE map_extract(meta, 'lang')[1] IS NULL
+        |  UNION ALL
+        |  SELECT id, 4, '.meta.lang', 'oneOf(en, es)',
+        |    chr(39) || map_extract(meta, 'lang')[1] || chr(39)
+        |  FROM s WHERE map_extract(meta, 'lang')[1] IS NOT NULL
+        |    AND map_extract(meta, 'lang')[1] NOT IN ('en', 'es')
+        |  UNION ALL
+        |  SELECT id, 5, '.meta.src', 'matches(/^ok[0-9]+$/)',
+        |    chr(39) || map_extract(meta, 'src')[1] || chr(39)
+        |  FROM s WHERE map_extract(meta, 'src')[1] IS NOT NULL
+        |    AND NOT regexp_matches(map_extract(meta, 'src')[1],
+        |      '^ok[0-9]+$')
+        |  UNION ALL
+        |  SELECT id, 6, '.tag', 'truthy', chr(39) || chr(39)
+        |  FROM s WHERE tag = '')
+        |SELECT CAST(id AS VARCHAR) AS doc_id,
+        |  CAST(row_number() OVER (PARTITION BY id ORDER BY ord) - 1
+        |    AS INTEGER) AS seq,
+        |  path, expected, got
+        |FROM v ORDER BY id, seq""".stripMargin,
 
     "ref_lineitem_part" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l

@@ -108,4 +108,33 @@ class EngineSpec extends SparkTestBase {
     val (p3, s3) = Runner.run(spark, s"$tmp/in", s"$tmp/out_resume")
     assert(p3 == 0 && s3 == 8)
   }
+
+  test("v_shapes_all driver query: collect-all over tuple/strict-tuple/" +
+       "hash/map-object/truthy — id=0 carries every defect in " +
+       "depth-first seq order") {
+    val out = SparkEntry.queries("v_shapes_all")(spark,
+      "/root/testdata/sf0.001").collect()
+    val zero = out.filter(_.getString(0) == "0").toSeq
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4)))
+    assert(zero == Seq(
+      (0, ".pair", "tuple of size 2", "[ 1 ]"),
+      (1, ".trip", "tuple of exactly size 1", "[ 'a', 'extra' ]"),
+      (2, ".attrs.bad", "between(0, 100)", "500"),
+      (3, ".meta.lang", "oneOf(en, es)", "'xx'"),
+      (4, ".tag", "truthy", "''")), s"id=0 violations were $zero")
+    // single-defect rows: exactly one violation at seq 0
+    assert(out.filter(_.getString(0) == "97").toSeq
+      .map(r => (r.getInt(1), r.getString(2))) == Seq((0, ".pair")))
+    // missing required key on a map-typed object renders got=null
+    assert(out.filter(_.getString(0) == "71").toSeq
+      .map(r => (r.getInt(1), r.getString(2), r.getString(4))) ==
+      Seq((0, ".meta.lang", "null")))
+    // salted two-phase uniqueness agrees with the single-phase count
+    val plain = SparkEntry.queries("uniq_lineitem")(spark,
+      "/root/testdata/sf0.001").collect()
+    val salted = SparkEntry.queries("uniq_salted_lineitem")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(plain.length == salted.length && plain.sameElements(salted))
+  }
 }
