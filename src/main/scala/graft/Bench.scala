@@ -116,9 +116,24 @@ object Bench {
       if (vruns.last._2 > stealMax && vi >= 2) Thread.sleep(12000)
       vi += 1
     }
-    val cleanV = vruns.filter(_._2 <= stealMax)
-    val t32v =
+    // The session min is finalized AFTER the later re-sampling points
+    // (see resampleFlagship): co-tenant bursts that steal no CPU
+    // (memory-bandwidth / in-VM load, invisible to /proc/stat steal)
+    // can blanket this first 2-minute window; re-sampling the identical
+    // job at later points widens the window to the whole ~20-minute
+    // session, so one quiet interval anywhere yields the honest number.
+    def resampleFlagship(d: org.apache.spark.sql.DataFrame): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+      var i = 0
+      while (i < 3 && (i < 2 || !vruns.takeRight(2).exists(_._2 <= stealMax))) {
+        vruns += timeSteal { runValidate(d); () }
+        i += 1
+      }
+    }
+    def flagshipMin(): Double = {
+      val cleanV = vruns.filter(_._2 <= stealMax)
       (if (cleanV.nonEmpty) cleanV else vruns).map(_._1).min
+    }
 
     // Scaling evidence: the FULL validation suite (contract + uniqueness
     // + referential + column stats + drift sketch) — the job a
@@ -160,7 +175,10 @@ object Bench {
       Drift.sketch(derived, "text_len")
       ()
     }
-    cached.unpersist(true)
+    // `cached` (the 4M flagship input, ~3 GB) stays cached through the
+    // scaling/skew phases so resampleFlagship can re-time the identical
+    // job at later session points; both it and the 12M scaled cache fit
+    // the 28 GB storage pool together.
     val nScale = nDocs * 3
     val scalePath = s"$benchDir/docs_$nScale"
     if (!new java.io.File(scalePath).exists()) {
@@ -181,11 +199,21 @@ object Bench {
     case class Pair(t2: Double, s2: Double, t8: Double, s8: Double) {
       def eff: Double = t2 / (4.0 * t8)
       def clean: Boolean = s2 <= stealMax && s8 <= stealMax && eff <= 1.0
+      // steal-corrected efficiency: a leg that had fraction s of its
+      // wanted CPU stolen effectively ran on (1-s) of the cores, so its
+      // unloaded wall estimate is t*(1-s). Used ONLY as the labeled
+      // fallback when no steal-clean pair lands in the whole session
+      // (sustained-burst hosts) — corrected pairs are acceptable only
+      // when the correction is modest (both legs <= 20% stolen) and the
+      // result is physically possible (<= 1.0).
+      def effCorr: Double = (t2 * (1.0 - s2)) / (4.0 * t8 * (1.0 - s8))
+      def acceptableCorr: Boolean =
+        s2 <= 0.2 && s8 <= 0.2 && effCorr <= 1.0
     }
     val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
     val t32runs = scala.collection.mutable.ArrayBuffer[Double]()
     var pi = 0
-    while (pi < 5 && (pi < 2 ||
+    while (pi < 8 && (pi < 2 ||
         !pairs.exists(p => p.clean && p.eff >= 0.8))) {
       val p =
         if (pi % 2 == 0) {
@@ -196,18 +224,29 @@ object Bench {
           Pair(a2, x2, a8, x8)
         }
       pairs += p
+      // a contaminated pair means a burst is in progress — wait it out
+      // before the next alternation (12s backoff, like the flagship)
+      if (!pairs.last.clean) Thread.sleep(12000)
       t32runs += runLevel(32)._1
       pi += 1
     }
     val accepted = pairs.filter(_.clean)
-    // headline = best steal-clean pair; if every pair was contaminated,
-    // fall back to min-of-legs (and say so via the empty accepted list)
-    val eff2to8 =
-      if (accepted.nonEmpty) accepted.map(_.eff).max
-      else pairs.map(_.t2).min / (4.0 * pairs.map(_.t8).min)
+    val corrAccepted = pairs.filter(_.acceptableCorr)
+    // headline = best steal-clean pair; if every pair was contaminated
+    // (sustained steal across the session), fall back to the best
+    // steal-CORRECTED pair; only if even correction is impossible
+    // (legs > 20% stolen or corrected eff > 1), min-of-legs. The basis
+    // field says which one this artifact records.
+    val (eff2to8, effBasis) =
+      if (accepted.nonEmpty) (accepted.map(_.eff).max, "steal_clean_pair")
+      else if (corrAccepted.nonEmpty)
+        (corrAccepted.map(_.effCorr).max, "steal_corrected_pair")
+      else (math.min(1.0,
+        pairs.map(_.t2).min / (4.0 * pairs.map(_.t8).min)), "min_legs")
     val (t2, t8, t32) =
       (pairs.map(_.t2).min, pairs.map(_.t8).min, t32runs.min)
     scaled.unpersist(true)
+    resampleFlagship(cached) // second flagship window (post-scaling)
     // Skew resilience (the north_rule's named hot-key case): the same
     // flagship validateAll over a table where every 4th row shares ONE
     // doc_id (~1M-row hot key at the default size). The count-join
@@ -228,13 +267,18 @@ object Bench {
     runValidate(skewCached) // warm
     val tSkew = (1 to 3).map(_ => runValidate(skewCached)).min
     skewCached.unpersist(true)
+    resampleFlagship(cached) // third flagship window (post-skew)
+    cached.unpersist(true)
+    val t32v = flagshipMin()
     spark.stop()
     val dps32 = nDocs / t32v
     val dps8 = nScale / t8; val dps2 = nScale / t2
     val secs32 = t32v
     val efficiency = t8 / (4.0 * t32)
     val pairsJson = pairs.map(p =>
-      f"""{"eff":${p.eff}%.3f,"steal_2c":${p.s2}%.3f,""" +
+      f"""{"t2":${p.t2}%.2f,"t8":${p.t8}%.2f,""" +
+      f""""eff":${p.eff}%.3f,"eff_corr":${p.effCorr}%.3f,""" +
+      f""""steal_2c":${p.s2}%.3f,""" +
       f""""steal_8c":${p.s8}%.3f,"clean":${p.clean}}""")
       .mkString("[", ",", "]")
 
@@ -257,6 +301,8 @@ object Bench {
       s""""unit":"docs/sec","queries":$qs,"sf":"$sfDir",""" +
       s""""queries_total_sec":${f"$total%.3f"},""" +
       s""""flagship":{"n_docs":$nDocs,"validate_sec_32c":${f"$secs32%.2f"},""" +
+      s""""flagship_runs":${vruns.size},""" +
+      s""""flagship_steal_clean_runs":${vruns.count(_._2 <= stealMax)},""" +
       s""""validate_sec_32c_cold_disk":${f"$cold32%.2f"},""" +
       s""""docs_per_sec_32c":${f"$dps32%.0f"},""" +
       s""""scaling_n_docs":$nScale,""" +
@@ -267,6 +313,7 @@ object Bench {
       s""""suite_docs_per_sec_2c":${f"$dps2%.0f"},""" +
       s""""validate_sec_32c_hotkey_1m":${f"$tSkew%.2f"},""" +
       s""""scaling_pairs_2c_to_8c":$pairsJson,""" +
+      s""""scaling_efficiency_basis":"$effBasis",""" +
       s""""scaling_efficiency_2c_to_8c":${f"$eff2to8%.3f"},""" +
       s""""scaling_efficiency_8c_to_32c":${f"$efficiency%.3f"}}}"""
     // stdout for the driver AND a bare file so the JSON survives sbt's
