@@ -265,7 +265,18 @@ object Bench {
     val skewCached = spark.read.parquet(skewPath).cache()
     skewCached.count()
     runValidate(skewCached) // warm
-    val tSkew = (1 to 3).map(_ => runValidate(skewCached)).min
+    // same steal-gated min-of-N discipline as the flagship: this number
+    // is the no-straggler skew evidence, and a burst-hit sample would
+    // masquerade as a hot-key penalty
+    val sruns = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var si = 0
+    while (si < 8 && (si < 3 || !sruns.exists(_._2 <= stealMax))) {
+      sruns += timeSteal { runValidate(skewCached); () }
+      if (sruns.last._2 > stealMax && si >= 2) Thread.sleep(12000)
+      si += 1
+    }
+    val cleanS = sruns.filter(_._2 <= stealMax)
+    val tSkew = (if (cleanS.nonEmpty) cleanS else sruns).map(_._1).min
     skewCached.unpersist(true)
     resampleFlagship(cached) // third flagship window (post-skew)
     cached.unpersist(true)

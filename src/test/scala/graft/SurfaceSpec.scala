@@ -263,6 +263,41 @@ class SurfaceSpec extends SparkTestBase {
     assert(rows(1).getAs[String]("path") == ".n_chars")
   }
 
+  test("streaming: stream-static referential check reports dangling " +
+       "FKs per micro-batch, equal to the batch left-anti") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val dim = Seq("media-1", "media-2").toDF("media_id")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "media_ref")
+    val out = StreamingValidate.danglingRefs(df, "media_ref", dim,
+      "media_id", "doc_id")
+    val q = out.writeStream.format("memory").queryName("sr")
+      .outputMode("append").start()
+    mem.addData((1L, "media-1"), (2L, "media-9"), (3L, null))
+    q.processAllAvailable()
+    mem.addData((4L, "media-2"), (5L, "media-0"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sr").orderBy("doc_id").collect()
+    // null FK is the object contract's concern, not referential's
+    assert(rows.map(_.getAs[String]("doc_id")).toSeq == Seq("2", "5"))
+    assert(rows.map(_.getAs[String]("got")).toSeq ==
+      Seq("media-9", "media-0"))
+    assert(rows(0).getAs[String]("message") ==
+      "check on `stream` failed: Expected `media_ref` present in " +
+      "catalog, but got dangling media-9")
+    // batch equivalence on the same data
+    val batch = Seq((1L, "media-1"), (2L, "media-9"), (3L, null),
+      (4L, "media-2"), (5L, "media-0")).toDF("doc_id", "media_ref")
+    val b = Referential.violations(batch, "media_ref", dim, "media_id",
+      "doc_id", "stream").orderBy("doc_id").collect()
+    assert(b.map(_.getAs[String]("doc_id")).toSeq == Seq("2", "5"))
+    assert(rows.map(_.getAs[String]("got")).toSeq ==
+      b.map(_.getAs[String]("got")).toSeq)
+  }
+
   test("streaming: watermarked windowed summary aggregates pass/fail") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
