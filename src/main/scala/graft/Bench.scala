@@ -65,6 +65,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4000000")
       .toLong
+    // Global budget for the burst-retry EXTENSIONS (extra flagship
+    // samples, extra scaling pairs, skew retries): each mandatory
+    // minimum (3 flagship runs, 2 pairs, 3 skew runs) always executes,
+    // but once the measured-phase clock exceeds the budget no loop
+    // extends further — bounding the session near its typical length so
+    // an external runner's timeout can't kill the artifact mid-write.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900")
+      .toDouble
+    val tStart = System.nanoTime()
+    def withinBudget: Boolean =
+      (System.nanoTime() - tStart) / 1e9 < budgetS
 
     var spark = session(cpus)
 
@@ -108,7 +119,8 @@ object Bench {
     // preferring steal-clean samples, estimates the unloaded number.
     val vruns = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     var vi = 0
-    while (vi < 16 && (vi < 3 || !vruns.exists(_._2 <= stealMax))) {
+    while (vi < 16 &&
+        (vi < 3 || (withinBudget && !vruns.exists(_._2 <= stealMax)))) {
       vruns += timeSteal { runValidate(cached); () }
       // steal bursts last tens of seconds to minutes: when the run was
       // contaminated, waiting beats burning the retry budget inside the
@@ -125,7 +137,9 @@ object Bench {
     def resampleFlagship(d: org.apache.spark.sql.DataFrame): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
       var i = 0
-      while (i < 3 && (i < 2 || !vruns.takeRight(2).exists(_._2 <= stealMax))) {
+      while (i < 3 &&
+          (i < 2 || (withinBudget &&
+            !vruns.takeRight(2).exists(_._2 <= stealMax)))) {
         vruns += timeSteal { runValidate(d); () }
         i += 1
       }
@@ -213,8 +227,8 @@ object Bench {
     val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
     val t32runs = scala.collection.mutable.ArrayBuffer[Double]()
     var pi = 0
-    while (pi < 8 && (pi < 2 ||
-        !pairs.exists(p => p.clean && p.eff >= 0.8))) {
+    while (pi < 8 && (pi < 2 || (withinBudget &&
+        !pairs.exists(p => p.clean && p.eff >= 0.8)))) {
       val p =
         if (pi % 2 == 0) {
           val (a2, x2) = runLevel(2); val (a8, x8) = runLevel(8)
@@ -270,7 +284,8 @@ object Bench {
     // masquerade as a hot-key penalty
     val sruns = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     var si = 0
-    while (si < 8 && (si < 3 || !sruns.exists(_._2 <= stealMax))) {
+    while (si < 8 &&
+        (si < 3 || (withinBudget && !sruns.exists(_._2 <= stealMax)))) {
       sruns += timeSteal { runValidate(skewCached); () }
       if (sruns.last._2 > stealMax && si >= 2) Thread.sleep(12000)
       si += 1
