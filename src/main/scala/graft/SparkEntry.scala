@@ -298,9 +298,11 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("id")),
 
-    // multimodal: payload attach + batched stub decode. Payloads are
-    // staged; the stub's fake dimensions are modular arithmetic over the
-    // byte length, so the oracle recomputes them from octet_length.
+    // multimodal: payload attach + batched REAL decode (ImageIO for
+    // png/jpeg, AudioSystem for wav, ISO-BMFF box walk for mp4).
+    // Payloads are staged; the oracle re-derives every decoded field
+    // STRUCTURALLY from container header bytes at fixed offsets —
+    // independent of the JVM decoders.
     "mm_features" -> ((s, dir) => {
       pipeline.Multimodal.withPayload(gen.SpanGen.media(s, 2000))
         .write.mode("overwrite")
@@ -312,6 +314,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"),
           min(col("width")).as("min_w"), max(col("height")).as("max_h"))
         .orderBy("mime")
+    }),
+
+    // multimodal REAL pixel resample: decode -> letterbox redraw ->
+    // PNG re-encode; reported dims are RE-DECODED from the re-encoded
+    // payload, so a green oracle proves the whole round trip. Oracle
+    // recomputes the letterbox geometry from the ORIGINAL container
+    // headers (PNG IHDR / JPEG SOF0).
+    "mm_resize" -> ((s, dir) => {
+      pipeline.Multimodal.withPayload(gen.SpanGen.media(s, 2000))
+        .write.mode("overwrite")
+        .parquet(s"${genDir(dir)}/media_payload")
+      val media = s.read.parquet(s"${genDir(dir)}/media_payload")
+      pipeline.Multimodal.resizeImages(media, maxSide = 24)
+        .toDF()
+        .select(col("media_id"), col("mime"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+
+    // multimodal REAL container demux: frame sampling where the frame
+    // count/pts come from the mvhd duration parsed out of the MP4 box
+    // structure. Oracle replays the demux from the fixed mvhd offsets
+    // of the canonical writer.
+    "mm_frames" -> ((s, dir) => {
+      pipeline.Multimodal.withPayload(gen.SpanGen.media(s, 2000))
+        .write.mode("overwrite")
+        .parquet(s"${genDir(dir)}/media_payload")
+      val media = s.read.parquet(s"${genDir(dir)}/media_payload")
+      pipeline.Multimodal.sampleFrames(media, everyMs = 1000)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("pts_ms"))
+        .orderBy("media_id", "frame_idx")
     }),
 
     // window functions: per-user running aggregates over the event
@@ -939,19 +972,84 @@ object SparkEntry {
     // chars 33-40 / 41-48), fully independent of the JVM decoder. The
     // remaining mimes use the documented modular-arithmetic stub over
     // octet_length.
+    // every decoded field re-derived from container bytes at fixed
+    // offsets: PNG IHDR (BE @16/20), ImageIO-baseline JPEG SOF0
+    // (BE @163/165 — marker prefix pinned by a structural test), WAV
+    // RIFF fmt/data chunks (LE: channels @22, rate @24, data size @40;
+    // width = frames = dataSize/(2*channels)), MP4 tkhd display dims
+    // (16.16 BE — integer half @232/236 for the canonical writer).
     "mm_features" ->
-      """SELECT mime, count(*) AS n,
+      """WITH m AS (
+        |  SELECT mime, payload, hex(payload) AS hx
+        |  FROM read_parquet('/tmp/graft_gen/sf0.01/media_payload/*.parquet'))
+        |SELECT mime, count(*) AS n,
         |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
-        |  CAST(min(CASE WHEN mime = 'image/png'
-        |    THEN CAST(('0x' || substring(hex(payload), 33, 8)) AS INTEGER)
+        |  CAST(min(CASE
+        |    WHEN mime = 'image/png'
+        |      THEN CAST(('0x' || substring(hx, 33, 8)) AS INTEGER)
+        |    WHEN mime = 'image/jpeg'
+        |      THEN CAST(('0x' || substring(hx, 331, 4)) AS INTEGER)
+        |    WHEN mime = 'audio/wav'
+        |      THEN CAST(('0x' || substring(hx, 87, 2) || substring(hx, 85, 2)
+        |        || substring(hx, 83, 2) || substring(hx, 81, 2)) AS INTEGER)
+        |        / (2 * CAST(('0x' || substring(hx, 47, 2)
+        |           || substring(hx, 45, 2)) AS INTEGER))
+        |    WHEN mime = 'video/mp4'
+        |      THEN CAST(('0x' || substring(hx, 465, 4)) AS INTEGER)
         |    ELSE 16 + (octet_length(payload) * 7919) % 1024 END) AS INT)
         |    AS min_w,
-        |  CAST(max(CASE WHEN mime = 'image/png'
-        |    THEN CAST(('0x' || substring(hex(payload), 41, 8)) AS INTEGER)
+        |  CAST(max(CASE
+        |    WHEN mime = 'image/png'
+        |      THEN CAST(('0x' || substring(hx, 41, 8)) AS INTEGER)
+        |    WHEN mime = 'image/jpeg'
+        |      THEN CAST(('0x' || substring(hx, 327, 4)) AS INTEGER)
+        |    WHEN mime = 'audio/wav'
+        |      THEN CAST(('0x' || substring(hx, 55, 2) || substring(hx, 53, 2)
+        |        || substring(hx, 51, 2) || substring(hx, 49, 2)) AS INTEGER)
+        |    WHEN mime = 'video/mp4'
+        |      THEN CAST(('0x' || substring(hx, 473, 4)) AS INTEGER)
         |    ELSE 16 + (octet_length(payload) * 104729) % 1024 END) AS INT)
         |    AS max_h
-        |FROM read_parquet('/tmp/graft_gen/sf0.01/media_payload/*.parquet')
-        |GROUP BY mime ORDER BY mime""".stripMargin,
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+
+    // letterbox geometry replayed from the ORIGINAL image headers; the
+    // Spark side reports dims re-decoded from the re-encoded payload,
+    // so equality proves decode->resample->encode->decode end to end.
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT media_id, mime,
+        |    CASE WHEN mime = 'image/png'
+        |      THEN CAST(('0x' || substring(hex(payload), 33, 8)) AS INTEGER)
+        |      ELSE CAST(('0x' || substring(hex(payload), 331, 4)) AS INTEGER)
+        |      END AS w0,
+        |    CASE WHEN mime = 'image/png'
+        |      THEN CAST(('0x' || substring(hex(payload), 41, 8)) AS INTEGER)
+        |      ELSE CAST(('0x' || substring(hex(payload), 327, 4)) AS INTEGER)
+        |      END AS h0
+        |  FROM read_parquet('/tmp/graft_gen/sf0.01/media_payload/*.parquet')
+        |  WHERE mime IN ('image/png', 'image/jpeg')),
+        |sc AS (SELECT media_id, mime, w0, h0,
+        |  least(1.0, 24.0 / greatest(w0, h0)) AS s FROM m)
+        |SELECT media_id, mime,
+        |  CAST(greatest(1, CAST(trunc(w0 * s) AS INTEGER)) AS INT) AS width,
+        |  CAST(greatest(1, CAST(trunc(h0 * s) AS INTEGER)) AS INT) AS height
+        |FROM sc ORDER BY media_id""".stripMargin,
+
+    // container demux replayed from the canonical writer's fixed mvhd
+    // offsets (timescale 1000 -> duration field IS milliseconds, BE u32
+    // at byte 56); one row per sampled frame at 1000 ms spacing.
+    "mm_frames" ->
+      """WITH v AS (
+        |  SELECT media_id,
+        |    CAST(('0x' || substring(hex(payload), 113, 8)) AS BIGINT)
+        |      AS dur_ms
+        |  FROM read_parquet('/tmp/graft_gen/sf0.01/media_payload/*.parquet')
+        |  WHERE mime = 'video/mp4'),
+        |f AS (SELECT media_id,
+        |  unnest(range(0, (dur_ms + 999) // 1000)) AS i FROM v)
+        |SELECT media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(i * 1000 AS BIGINT) AS pts_ms
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     // exact-audit drift: same KS/PSI definitions as the engine's exact
     // mode — empirical CDFs on the shared min/max grid of 101 points.

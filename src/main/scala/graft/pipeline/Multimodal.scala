@@ -6,19 +6,36 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `BINARY`
   * columns with typed metadata, and a batch feature-extraction pass.
   *
-  * PNG decode is REAL (`javax.imageio` ships in the JDK): payloads for
-  * `image/png` rows are genuine encoded PNGs and feature extraction
-  * parses actual width/height/pixels. The decode result is
-  * independently verifiable: PNG stores dimensions at fixed IHDR byte
-  * offsets, so an external SQL oracle re-derives them STRUCTURALLY from
-  * the raw bytes — no shared code with the ImageIO path. JPEG / audio /
-  * video decode remain clearly-marked STUBs (no further codecs ship in
-  * this environment): `decodeStub` derives deterministic fake
-  * dimensions/features from the payload bytes. Everything around the
-  * stubs — schema, per-partition batched iteration (the shape a real
-  * vectorized decoder needs: amortize codec/model init per partition,
-  * process fixed-size batches), partitioning, column pruning — is real
-  * and tested; swap `decodeStub` for a JNI/ONNX decoder and the
+  * Three of the four catalog mimes now decode for REAL with what ships
+  * in the JDK — each one verifiable by an external SQL oracle that
+  * re-derives the decoded fields STRUCTURALLY from the raw payload
+  * bytes, sharing no code with the JVM decoder:
+  *
+  *   - `image/png` and `image/jpeg`: genuine encoded images
+  *     (`javax.imageio`); dimensions + pixel features from the actual
+  *     decode. PNG stores dims at fixed IHDR offsets; ImageIO's
+  *     baseline JPEG writer emits a fixed marker prefix (SOI, APP0,
+  *     2×DQT) so SOF0 sits at byte 158 — pinned by a structural test —
+  *     with dims big-endian at bytes 163..166.
+  *   - `audio/wav`: genuine PCM WAVE (`javax.sound.sampled`); sample
+  *     rate / channels / frame count from the actual container parse,
+  *     features from the decoded samples. The canonical 44-byte RIFF
+  *     header puts channels at byte 22 (LE u16), sample rate at 24
+  *     (LE u32) and the data-chunk size at 40 (LE u32).
+  *   - `video/mp4`: a genuine ISO-BMFF box structure (ftyp + moov
+  *     [mvhd + trak/tkhd] + mdat); duration/timescale and track
+  *     display dimensions come from a REAL box walker (`parseMp4` —
+  *     the container-demux half of a video pipeline). Only the CODEC
+  *     half (frame pixel decode) remains a clearly-marked STUB — no
+  *     video codec ships in this environment — so per-frame features
+  *     are deterministic fakes while frame COUNT and pts come from the
+  *     real mvhd duration.
+  *
+  * Everything around the decoders — schema, per-partition batched
+  * iteration (the shape a real vectorized decoder needs: amortize
+  * codec/model init per partition, process fixed-size batches),
+  * partitioning, column pruning — is real and tested; swap the one
+  * remaining stub (video frame pixels) for a JNI/ONNX decoder and the
   * pipeline is production-shaped.
   */
 object Multimodal {
@@ -32,10 +49,21 @@ object Multimodal {
   /** deterministic tiny real PNG for a media id: dimensions and pixel
     * gradient are pure functions of the id (String.hashCode is
     * spec-stable), encoded with the JDK's ImageIO PNG writer. */
-  private[pipeline] def pngPayload(mediaId: String): Array[Byte] = {
+  private[graft] def pngPayload(mediaId: String): Array[Byte] =
+    imagePayload(mediaId, "png")
+
+  /** deterministic tiny real JPEG (baseline, default quality) — same
+    * id-derived geometry scheme as PNG but independent bit-shifts so
+    * the two image mimes exercise different dimensions. */
+  private[graft] def jpegPayload(mediaId: String): Array[Byte] =
+    imagePayload(mediaId, "jpg")
+
+  private def imagePayload(mediaId: String, fmt: String): Array[Byte] = {
     val h0 = mediaId.hashCode
-    val w = 1 + math.floorMod(h0, 48)
-    val ht = 1 + math.floorMod(h0 >> 8, 48)
+    val (w, ht) =
+      if (fmt == "png") (1 + math.floorMod(h0, 48),
+        1 + math.floorMod(h0 >> 8, 48))
+      else (1 + math.floorMod(h0 >> 4, 48), 1 + math.floorMod(h0 >> 12, 48))
     val img = new java.awt.image.BufferedImage(w, ht,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -48,16 +76,166 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
   }
 
+  /** deterministic genuine PCM WAVE: 16-bit little-endian samples whose
+    * rate / channel count / frame count derive from the id, written
+    * through `AudioSystem` so the container is the real canonical
+    * 44-byte-header RIFF layout (one fmt chunk, one data chunk). */
+  private[graft] def wavPayload(mediaId: String): Array[Byte] = {
+    val h0 = mediaId.hashCode
+    val rate = Array(8000, 16000, 22050, 44100)(math.floorMod(h0, 4))
+    val channels = 1 + math.floorMod(h0 >> 2, 2)
+    val frames = 50 + math.floorMod(h0 >> 8, 1951) // 50..2000
+    val pcm = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames * channels) {
+      // deterministic integer "waveform" — full 16-bit range
+      val s = ((h0 + i * 40503) & 0xffff).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // ---- ISO-BMFF (MP4) minimal writer + REAL box-walking parser ------
+
+  private def be32(v: Int): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** deterministic minimal-but-genuine MP4: ftyp(isom) + moov holding a
+    * canonical v0 mvhd (timescale 1000, id-derived duration) and one
+    * trak/tkhd carrying id-derived display dimensions (16.16 fixed
+    * point, per the spec) + an mdat of deterministic bytes. Box sizes
+    * and field offsets follow ISO/IEC 14496-12; `parseMp4` walks the
+    * boxes for real rather than assuming these offsets. */
+  private[graft] def mp4Payload(mediaId: String): Array[Byte] = {
+    val h0 = mediaId.hashCode
+    val durMs = 500 + math.floorMod(h0 >> 3, 10000)
+    val w = 16 + math.floorMod(h0 >> 5, 305) // 16..320
+    val ht = 16 + math.floorMod(h0 >> 13, 305)
+    val unit = be32(0x00010000) // 1.0 in 16.16
+    val matrix = unit ++ be32(0) ++ be32(0) ++
+      be32(0) ++ unit ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
+      "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ // version/flags, ctime, mtime
+        be32(1000) ++ be32(durMs) ++ // timescale, duration
+        be32(0x00010000) ++ // rate 1.0
+        Array[Byte](0x01, 0x00, 0, 0) ++ // volume 1.0 + reserved
+        be32(0) ++ be32(0) ++ // reserved
+        matrix ++
+        Array.fill(24)(0.toByte) ++ // pre_defined
+        be32(2)) // next_track_id
+    val tkhd = box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++ // version/flags(enabled), times
+        be32(1) ++ be32(0) ++ be32(durMs) ++ // track_id, reserved, duration
+        be32(0) ++ be32(0) ++ // reserved
+        Array.fill(8)(0.toByte) ++ // layer, alternate, volume, reserved
+        matrix ++
+        be32(w << 16) ++ be32(ht << 16)) // width, height in 16.16
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val mdatLen = 64 + math.floorMod(h0 >> 9, 1024)
+    val mdat = box("mdat",
+      Array.tabulate(mdatLen)(i => ((h0 * 31 + i * 131) & 0xff).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** container metadata a real demuxer's first pass yields. */
+  private[graft] case class Mp4Meta(durationMs: Long, timescale: Int,
+                                       width: Int, height: Int,
+                                       mdatLen: Int, nTopBoxes: Int)
+
+  /** REAL ISO-BMFF box walker: iterates (size, fourcc) top-level boxes,
+    * descends into moov for mvhd (timescale/duration) and trak/tkhd
+    * (display dims). No fixed offsets assumed — this parses the
+    * structure the way any demuxer does. Returns None on anything that
+    * is not a plausible BMFF stream. */
+  private[graft] def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    def u32(off: Int): Long =
+      if (off + 4 > b.length) -1L
+      else ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    def fourcc(off: Int): String =
+      if (off + 8 > b.length) ""
+      else new String(b, off + 4, 4, "US-ASCII")
+    var off = 0
+    var timescale = 0; var duration = -1L
+    var w = 0; var h = 0; var mdatLen = 0; var nTop = 0
+    var sawFtyp = false
+    while (off + 8 <= b.length) {
+      val size = u32(off)
+      if (size < 8 || off + size > b.length) return None
+      nTop += 1
+      fourcc(off) match {
+        case "ftyp" => sawFtyp = true
+        case "mdat" => mdatLen = (size - 8).toInt
+        case "moov" =>
+          var o = off + 8
+          val end = off + size.toInt
+          while (o + 8 <= end) {
+            val s2 = u32(o)
+            if (s2 < 8 || o + s2 > end) return None
+            fourcc(o) match {
+              case "mvhd" =>
+                val ver = b(o + 8) & 0xff
+                val base = if (ver == 1) o + 8 + 4 + 16 else o + 8 + 4 + 8
+                timescale = u32(base).toInt
+                duration =
+                  if (ver == 1) (u32(base + 4) << 32) | u32(base + 8)
+                  else u32(base + 4)
+              case "trak" =>
+                var t = o + 8
+                val tEnd = o + s2.toInt
+                while (t + 8 <= tEnd) {
+                  val s3 = u32(t)
+                  if (s3 < 8 || t + s3 > tEnd) return None
+                  if (fourcc(t) == "tkhd") {
+                    // width/height are the LAST two 16.16 fields
+                    val wOff = t + s3.toInt - 8
+                    w = (u32(wOff) >> 16).toInt
+                    h = (u32(wOff + 4) >> 16).toInt
+                  }
+                  t += s3.toInt
+                }
+              case _ => ()
+            }
+            o += s2.toInt
+          }
+        case _ => ()
+      }
+      off += size.toInt
+    }
+    if (!sawFtyp || timescale <= 0 || duration < 0) None
+    else Some(Mp4Meta(duration * 1000L / timescale, timescale, w, h,
+      mdatLen, nTop))
+  }
+
   /** attach a deterministic payload (BINARY) to a media catalog —
-    * stands in for reading object-store blobs. `image/png` rows carry a
-    * REAL encoded PNG ([[pngPayload]]); other mimes a pseudo-payload of
-    * repeated hash hex, both pure functions of media_id. */
+    * stands in for reading object-store blobs. `image/png`,
+    * `image/jpeg`, `audio/wav` and `video/mp4` rows carry GENUINE
+    * encoded payloads (see [[pngPayload]]/[[jpegPayload]]/
+    * [[wavPayload]]/[[mp4Payload]]); any other mime gets a
+    * pseudo-payload of repeated hash hex. All pure functions of
+    * media_id. */
   def withPayload(media: DataFrame): DataFrame = {
-    // stub payload = repeated xxhash64 hex, length 64..1087 bytes
+    // fallback payload = repeated xxhash64 hex, length 64..1087 bytes
     val reps = (pmod(xxhash64(col("media_id"), lit(1)), lit(64)) + 4)
       .cast("int")
     val base = media.select(col("media_id"), col("mime"),
@@ -66,18 +244,21 @@ object Multimodal {
         .as("payload"))
     implicit val enc = Encoders.product[PayloadRow]
     base.as[PayloadRow].mapPartitions(_.map { r =>
-      if (r.mime == "image/png") r.copy(payload = pngPayload(r.media_id))
-      else r
+      r.mime match {
+        case "image/png"  => r.copy(payload = pngPayload(r.media_id))
+        case "image/jpeg" => r.copy(payload = jpegPayload(r.media_id))
+        case "audio/wav"  => r.copy(payload = wavPayload(r.media_id))
+        case "video/mp4"  => r.copy(payload = mp4Payload(r.media_id))
+        case _            => r
+      }
     }).toDF()
   }
 
-  /** ======= STUB ======= deterministic fake decode of one payload
-    * (every mime except image/png — see [[decodePng]]). A real
-    * implementation would parse the container format and run a decoder
-    * here; the signature (bytes in, dims + feature vector out) is the
-    * real contract. The fake dimensions are simple modular arithmetic
-    * over the byte length so an external oracle can recompute them from
-    * the staged payloads (octet_length in SQL). */
+  /** ======= STUB ======= deterministic fake decode of one payload —
+    * now only the fallback for mimes with no JDK codec (nothing in the
+    * generated catalog reaches it except corrupt payloads). The fake
+    * dimensions are simple modular arithmetic over the byte length so
+    * an external oracle can recompute them from staged payloads. */
   private def decodeStub(mime: String, payload: Array[Byte])
       : (Int, Int, Array[Float]) = {
     val len = payload.length
@@ -88,14 +269,16 @@ object Multimodal {
     (w, ht, emb)
   }
 
-  /** REAL decode: ImageIO PNG → actual dimensions plus an 8-dim pixel
-    * feature (mean/max per RGB channel + normalized geometry) — the
-    * genuine decode-then-featurize contract. Deterministic: pixel
-    * traversal is row-major, accumulation in double. */
-  private def decodePng(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+  /** REAL decode: ImageIO (PNG and baseline JPEG) → actual dimensions
+    * plus an 8-dim pixel feature (mean/max per RGB channel + normalized
+    * geometry) — the genuine decode-then-featurize contract.
+    * Deterministic: pixel traversal is row-major, accumulation in
+    * double. */
+  private def decodeImage(mime: String, payload: Array[Byte])
+      : (Int, Int, Array[Float]) = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
-    if (img == null) return decodeStub("image/png", payload) // corrupt
+    if (img == null) return decodeStub(mime, payload) // corrupt
     val w = img.getWidth; val ht = img.getHeight
     val sums = new Array[Double](3); val maxs = new Array[Int](3)
     var y = 0
@@ -121,6 +304,74 @@ object Multimodal {
     (w, ht, emb)
   }
 
+  /** REAL decode: `AudioSystem` parses the WAVE container (format +
+    * frame count), then the PCM samples stream through a per-sample
+    * accumulation — RMS / peak / zero-crossing rate / mean plus
+    * normalized geometry. Column mapping for the shared MediaFeature
+    * schema: width = frames per channel, height = sample rate (both
+    * re-derivable from RIFF header bytes by the SQL oracle). */
+  private def decodeWav(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val in = try {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+    } catch {
+      case _: Exception => return decodeStub("audio/wav", payload)
+    }
+    val fmt = in.getFormat
+    val frames = in.getFrameLength.toInt
+    val channels = fmt.getChannels
+    val rate = fmt.getSampleRate.toInt
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    var i = 0
+    var sum = 0.0; var sq = 0.0; var peak = 0; var zc = 0; var prev = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+      sum += s; sq += s.toDouble * s
+      val a = math.abs(s.toInt); if (a > peak) peak = a
+      if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
+      prev = s
+      i += 1
+    }
+    val emb = Array(
+      (math.sqrt(sq / math.max(1, n)) / 32768.0).toFloat, // rms
+      peak / 32768.0f,
+      zc.toFloat / math.max(1, n - 1), // zero-crossing rate
+      (sum / math.max(1, n) / 32768.0).toFloat, // dc offset
+      channels / 2.0f,
+      rate / 48000.0f,
+      frames / 2000.0f,
+      frames.toFloat / rate) // duration seconds
+    (frames, rate, emb)
+  }
+
+  /** REAL container demux: [[parseMp4]] walks the box structure for
+    * duration/timescale, track display dims and mdat size. Column
+    * mapping: width/height = tkhd display dims. The feature vector is
+    * container metadata only — pixel-level features would need a codec
+    * (the one remaining stubbed stage). */
+  private def decodeMp4(payload: Array[Byte]): (Int, Int, Array[Float]) =
+    parseMp4(payload) match {
+      case None => decodeStub("video/mp4", payload)
+      case Some(m) =>
+        (m.width, m.height, Array(
+          m.durationMs / 1000.0f,
+          m.timescale / 1000.0f,
+          m.width / 64.0f, m.height / 64.0f,
+          m.mdatLen / 1024.0f,
+          1.0f, // track id
+          m.nTopBoxes.toFloat,
+          0.0f))
+    }
+
+  private def decodeAny(mime: String, payload: Array[Byte])
+      : (Int, Int, Array[Float]) = mime match {
+    case "image/png" | "image/jpeg" => decodeImage(mime, payload)
+    case "audio/wav"                => decodeWav(payload)
+    case "video/mp4"                => decodeMp4(payload)
+    case _                          => decodeStub(mime, payload)
+  }
+
   /** batched per-partition feature extraction. `batchSize` models the
     * vectorized-decoder batch shape; partition iteration order is the
     * input order (deterministic given deterministic input). */
@@ -135,9 +386,7 @@ object Multimodal {
         // per-partition init happens HERE in a real decoder (codec/model)
         it.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val (w, h, emb) =
-              if (r.mime == "image/png") decodePng(r.payload)
-              else decodeStub(r.mime, r.payload)
+            val (w, h, emb) = decodeAny(r.mime, r.payload)
             MediaFeature(r.media_id, r.mime, r.payload.length, w, h, emb)
           }
         }
@@ -147,10 +396,11 @@ object Multimodal {
   case class ResizedMedia(media_id: String, mime: String, width: Int,
                           height: Int, payload: Array[Byte])
 
-  /** ======= STUB ======= resize stage: computes the letterboxed target
-    * geometry (real logic) and fakes the pixel resample by truncating /
-    * repeating payload bytes deterministically (a real impl swaps in the
-    * codec). Aspect-ratio math and schema are the production contract. */
+  /** ======= STUB ======= feature-level resize stage: computes the
+    * letterboxed target geometry (real logic) and fakes the pixel
+    * resample by synthesizing payload bytes deterministically. Kept as
+    * the cheap geometry pass for non-image mimes; image mimes have the
+    * REAL pixel path in [[resizeImages]]. */
   def resize(features: Dataset[MediaFeature], maxSide: Int = 256)
       : Dataset[ResizedMedia] = {
     implicit val enc = Encoders.product[ResizedMedia]
@@ -167,14 +417,56 @@ object Multimodal {
     }
   }
 
+  /** REAL image resample: decode (ImageIO) → letterbox-scaled redraw
+    * (Graphics2D, bilinear) → re-encode as PNG. The returned width /
+    * height are re-decoded FROM THE RE-ENCODED payload, so a green
+    * oracle proves the full decode→resample→encode→decode round trip,
+    * not just the geometry arithmetic. Non-image rows are filtered out
+    * (a real pipeline routes mimes to per-modality stages). */
+  def resizeImages(media: DataFrame, maxSide: Int = 256)
+      : Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.select(col("media_id"), col("mime"), col("payload"))
+      .where(col("mime").isin("image/png", "image/jpeg"))
+      .as[MediaRow]
+      .map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val scale = math.min(1.0,
+          maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+        val w = math.max(1, (img.getWidth * scale).toInt)
+        val h = math.max(1, (img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val enc = bos.toByteArray
+        // re-decode the encoded result: the reported dims survive the
+        // full round trip or the row is wrong
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(enc))
+        ResizedMedia(r.media_id, r.mime, back.getWidth, back.getHeight,
+          enc)
+      }
+  }
+
   case class Frame(media_id: String, frame_idx: Int, pts_ms: Long,
                    feature: Array[Float])
 
-  /** ======= STUB ======= frame sampling for video payloads: one row per
-    * sampled frame at `everyMs` spacing over a fake duration derived
-    * from payload length (a real impl demuxes the container). The
-    * one-to-many explode shape, deterministic pts, and per-frame feature
-    * plumbing are the production contract. */
+  /** frame sampling for video payloads: one row per sampled frame at
+    * `everyMs` spacing. For `video/mp4` the duration comes from the
+    * REAL mvhd box parse ([[parseMp4]]) — genuine container demux;
+    * other video mimes keep the length-derived fake duration. Per-frame
+    * FEATURES remain a ======= STUB ======= (pixel decode needs a
+    * codec); the one-to-many explode shape, deterministic pts and
+    * per-frame feature plumbing are the production contract. */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000)
       : Dataset[Frame] = {
     implicit val enc = Encoders.product[Frame]
@@ -183,8 +475,13 @@ object Multimodal {
       .where(col("mime").startsWith("video/"))
       .as[MediaRow]
       .flatMap { r =>
-        val durationMs = 500L + (math.abs(
-          java.util.Arrays.hashCode(r.payload)) % 10000)
+        val durationMs =
+          if (r.mime == "video/mp4")
+            parseMp4(r.payload).map(_.durationMs).getOrElse(
+              500L + (math.abs(
+                java.util.Arrays.hashCode(r.payload)) % 10000))
+          else 500L + (math.abs(
+            java.util.Arrays.hashCode(r.payload)) % 10000)
         (0L until durationMs by everyMs).zipWithIndex.map {
           case (pts, idx) =>
             val h = java.util.Arrays.hashCode(r.payload) ^ pts.toInt

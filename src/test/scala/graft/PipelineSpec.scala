@@ -229,7 +229,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("multimodal: decode is deterministic, schema typed, batched; " +
-       "PNG dims are REAL (ImageIO round-trip ≡ IHDR header bytes)") {
+       "PNG/JPEG/WAV/MP4 fields are REAL (decoder ≡ header bytes)") {
     val media = gen.SpanGen.media(spark, 500)
     val a = Multimodal.extractFeatures(Multimodal.withPayload(media), 64)
       .orderBy("media_id").collect()
@@ -241,26 +241,88 @@ class PipelineSpec extends SparkTestBase {
       x.media_id == y.media_id && x.width == y.width &&
         x.embedding.sameElements(y.embedding) })
     assert(a.forall(f => f.embedding.length == 8 && f.byte_len > 0))
-    // image/png rows: decoded dimensions must equal the IHDR header
-    // fields parsed structurally from the payload bytes (the same
-    // independent check the DuckDB oracle runs)
-    val pngs = Multimodal.withPayload(media)
-      .where(col("mime") === "image/png").collect()
-    assert(pngs.nonEmpty)
-    val feats = a.filter(_.mime == "image/png")
-      .map(f => f.media_id -> f).toMap
-    pngs.foreach { r =>
+    // all four mimes present and none on the stub formula's dimension
+    // signature by accident: structural header parses follow
+    assert(Set("image/png", "image/jpeg", "audio/wav", "video/mp4")
+      .subsetOf(a.map(_.mime).toSet))
+    val feats = a.map(f => f.media_id -> f).toMap
+    val rows = Multimodal.withPayload(media).collect()
+    def be(p: Array[Byte], off: Int, n: Int): Long =
+      (0 until n).foldLeft(0L)((acc, i) => (acc << 8) | (p(off + i) & 0xffL))
+    def le(p: Array[Byte], off: Int, n: Int): Long =
+      (n - 1 to 0 by -1).foldLeft(0L)((acc, i) =>
+        (acc << 8) | (p(off + i) & 0xffL))
+    rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")
-      assert((p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte, "not a PNG")
-      def be32(off: Int) = ((p(off) & 0xff) << 24) |
-        ((p(off + 1) & 0xff) << 16) | ((p(off + 2) & 0xff) << 8) |
-        (p(off + 3) & 0xff)
       val f = feats(r.getAs[String]("media_id"))
-      assert(f.width == be32(16) && f.height == be32(20),
-        s"${f.media_id}: ImageIO (${f.width}x${f.height}) != header " +
-          s"(${be32(16)}x${be32(20)})")
-      assert(f.width >= 1 && f.width <= 48 && f.height >= 1 &&
-        f.height <= 48)
+      r.getAs[String]("mime") match {
+        case "image/png" =>
+          // decoded dims ≡ IHDR fields (the DuckDB oracle's check)
+          assert((p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte, "not a PNG")
+          assert(f.width == be(p, 16, 4) && f.height == be(p, 20, 4),
+            s"${f.media_id}: ImageIO (${f.width}x${f.height}) != IHDR " +
+              s"(${be(p, 16, 4)}x${be(p, 20, 4)})")
+          assert(f.width >= 1 && f.width <= 48 && f.height >= 1 &&
+            f.height <= 48)
+        case "image/jpeg" =>
+          // pin the writer's fixed marker prefix (SOI..2xDQT = 158
+          // bytes) the oracle's fixed-offset SOF0 read relies on, then
+          // decoded dims ≡ SOF0 fields
+          assert((p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8,
+            "not a JPEG")
+          assert((p(158) & 0xff) == 0xFF && (p(159) & 0xff) == 0xC0,
+            s"${f.media_id}: SOF0 not at byte 158")
+          assert(f.height == be(p, 163, 2) && f.width == be(p, 165, 2),
+            s"${f.media_id}: ImageIO (${f.width}x${f.height}) != SOF0")
+        case "audio/wav" =>
+          // canonical RIFF: channels @22 LE, rate @24 LE, data size @40
+          // LE; width = frames = dataSize/(2*channels), height = rate
+          assert(new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+            new String(p, 36, 4, "US-ASCII") == "data", "not canonical WAV")
+          val ch = le(p, 22, 2).toInt
+          val rate = le(p, 24, 4).toInt
+          val frames = (le(p, 40, 4) / (2 * ch)).toInt
+          assert(f.width == frames && f.height == rate,
+            s"${f.media_id}: AudioSystem (${f.width}, ${f.height}) != " +
+              s"RIFF ($frames, $rate)")
+          assert(ch >= 1 && ch <= 2 && f.embedding(1) > 0f) // peak > 0
+        case "video/mp4" =>
+          // canonical writer: mvhd duration BE @56 (timescale 1000),
+          // tkhd 16.16 dims with integer halves BE @232/@236 — the
+          // box WALKER must agree with the fixed offsets
+          assert(new String(p, 4, 4, "US-ASCII") == "ftyp", "not MP4")
+          val m = Multimodal.parseMp4(p).get
+          assert(m.timescale == 1000 && m.durationMs == be(p, 56, 4),
+            s"${f.media_id}: walker duration != mvhd bytes")
+          assert(f.width == be(p, 232, 2) && f.height == be(p, 236, 2),
+            s"${f.media_id}: walker dims != tkhd bytes")
+          assert(f.embedding(0) == m.durationMs / 1000.0f)
+        case _ => fail("unexpected mime")
+      }
+    }
+  }
+
+  test("multimodal: real image resample round-trips (dims re-decoded " +
+       "from the re-encoded PNG equal the letterbox geometry)") {
+    val media = Multimodal.withPayload(gen.SpanGen.media(spark, 300))
+    val out = Multimodal.resizeImages(media, maxSide = 24)
+      .orderBy("media_id").collect()
+    val imgs = media.where(col("mime").isin("image/png", "image/jpeg"))
+      .count()
+    assert(out.length == imgs && out.nonEmpty)
+    val orig = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    out.foreach { r =>
+      val o = orig(r.media_id)
+      val s = math.min(1.0, 24.0 / math.max(o.width, o.height))
+      assert(r.width == math.max(1, (o.width * s).toInt) &&
+        r.height == math.max(1, (o.height * s).toInt),
+        s"${r.media_id}: resized ${r.width}x${r.height} != letterbox of " +
+          s"${o.width}x${o.height}")
+      // payload is a genuine PNG of exactly those dims
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == r.width && img.getHeight == r.height)
     }
   }
 
