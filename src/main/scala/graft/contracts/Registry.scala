@@ -140,6 +140,9 @@ final class ContractRegistry(val module: String) {
 
   def names: Seq[String] = entries.keys.toSeq
 
+  def contractOf(name: String): Option[Contract] =
+    entries.get(name).map(_.contract)
+
   /** `publish`: bind declared contracts to an implementation table —
     * every declared name must be implemented (contract.impl.js:830-835);
     * members not mentioned stay private (:828-839). Returns the sealed

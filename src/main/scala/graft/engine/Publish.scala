@@ -27,15 +27,28 @@ object Publish {
     * rejected at publish time (ContractLibraryError), not call time. */
   def wrapAll(reg: ContractRegistry, idCol: String)
              (impl: Map[String, DataFrame => DataFrame])
-      : Map[String, DataFrame => DataFrame] =
-    reg.publish(impl).map { case (name, (fn, c)) =>
+      : Map[String, DataFrame => DataFrame] = {
+    // completeness is enforced over the registry's SINGLE-INPUT members
+    // only: a mixed registry publishes its multi-input members through
+    // [[wrapAllMulti]] (which enforces completeness over those), so the
+    // two calls together cover every declared name
+    val singleNames = reg.names.filter(reg.inputsOf(_).isEmpty)
+    singleNames.find(!impl.contains(_)).foreach { missing =>
+      throw new ContractLibraryError(
+        s"publish: no implementation for declared contract `$missing`")
+    }
+    impl.keys.foreach { k =>
       // a multi-input member's Entry.contract is only its FIRST input;
       // wrapping it single-input would silently skip the rest of the
       // window — reject at publish time, route through wrapAllMulti
-      if (reg.inputsOf(name).nonEmpty)
+      if (reg.inputsOf(k).nonEmpty)
         throw new ContractLibraryError(
-          s"`$name` declares ${reg.inputsOf(name).size} inputs — " +
+          s"`$k` declares ${reg.inputsOf(k).size} inputs — " +
             "publish it through wrapAllMulti, not wrapAll")
+    }
+    singleNames.map { name =>
+      val fn = impl(name)
+      val c = reg.contractOf(name).get
       def asObject(cc: Contract, side: String): ObjectC = cc match {
         case o: ObjectC => o
         case other => throw new ContractLibraryError(
@@ -60,7 +73,8 @@ object Publish {
           case None => out
         }
       }
-    }
+    }.toMap
+  }
 
   /** MULTI-INPUT member enforcement — the data-plane analog of the
     * reference's `c.fn(argC…)` arity window (function-contracts.js:

@@ -41,8 +41,6 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(media_id: String, mime: String, payload: Array[Byte])
-  case class PayloadRow(media_id: String, mime: String, bytes: Long,
-                        payload: Array[Byte])
   case class MediaFeature(media_id: String, mime: String, byte_len: Int,
                           width: Int, height: Int, embedding: Array[Float])
 
@@ -227,31 +225,46 @@ object Multimodal {
       mdatLen, nTop))
   }
 
+  private val generatedMimes =
+    Seq("image/png", "image/jpeg", "audio/wav", "video/mp4")
+
   /** attach a deterministic payload (BINARY) to a media catalog —
     * stands in for reading object-store blobs. `image/png`,
     * `image/jpeg`, `audio/wav` and `video/mp4` rows carry GENUINE
     * encoded payloads (see [[pngPayload]]/[[jpegPayload]]/
     * [[wavPayload]]/[[mp4Payload]]); any other mime gets a
     * pseudo-payload of repeated hash hex. All pure functions of
-    * media_id. */
+    * media_id. Requires `media_id` and `mime`; every other catalog
+    * column passes through untouched. */
   def withPayload(media: DataFrame): DataFrame = {
-    // fallback payload = repeated xxhash64 hex, length 64..1087 bytes
+    // fallback payload = repeated xxhash64 hex, length 64..1087 bytes —
+    // only computed for mimes with no generator
     val reps = (pmod(xxhash64(col("media_id"), lit(1)), lit(64)) + 4)
       .cast("int")
-    val base = media.select(col("media_id"), col("mime"),
-      col("bytes").cast("long").as("bytes"),
-      unhex(repeat(lower(hex(xxhash64(col("media_id")))), reps))
-        .as("payload"))
-    implicit val enc = Encoders.product[PayloadRow]
-    base.as[PayloadRow].mapPartitions(_.map { r =>
-      r.mime match {
-        case "image/png"  => r.copy(payload = pngPayload(r.media_id))
-        case "image/jpeg" => r.copy(payload = jpegPayload(r.media_id))
-        case "audio/wav"  => r.copy(payload = wavPayload(r.media_id))
-        case "video/mp4"  => r.copy(payload = mp4Payload(r.media_id))
-        case _            => r
+    val base = media.withColumn("payload",
+      when(col("mime").isin(generatedMimes: _*), lit(null).cast("binary"))
+        .otherwise(
+          unhex(repeat(lower(hex(xxhash64(col("media_id")))), reps))))
+    val schema = base.schema
+    val pIdx = schema.fieldIndex("payload")
+    val idIdx = schema.fieldIndex("media_id")
+    val mimeIdx = schema.fieldIndex("mime")
+    implicit val enc = Encoders.row(schema)
+    base.mapPartitions(_.map { r =>
+      val mime = r.getString(mimeIdx)
+      if (!generatedMimes.contains(mime)) r
+      else {
+        val id = r.getString(idIdx)
+        val vals = r.toSeq.toArray
+        vals(pIdx) = mime match {
+          case "image/png"  => pngPayload(id)
+          case "image/jpeg" => jpegPayload(id)
+          case "audio/wav"  => wavPayload(id)
+          case _            => mp4Payload(id)
+        }
+        org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
       }
-    }).toDF()
+    })
   }
 
   /** ======= STUB ======= deterministic fake decode of one payload —
@@ -422,7 +435,11 @@ object Multimodal {
     * height are re-decoded FROM THE RE-ENCODED payload, so a green
     * oracle proves the full decode→resample→encode→decode round trip,
     * not just the geometry arithmetic. Non-image rows are filtered out
-    * (a real pipeline routes mimes to per-modality stages). */
+    * (a real pipeline routes mimes to per-modality stages); rows whose
+    * payload fails to decode are dropped rather than crashing the job —
+    * routing undecodable media to a quarantine sink is the validation
+    * engine's job (contract check on the catalog), not the prep
+    * pipeline's. */
   def resizeImages(media: DataFrame, maxSide: Int = 256)
       : Dataset[ResizedMedia] = {
     implicit val enc = Encoders.product[ResizedMedia]
@@ -430,31 +447,35 @@ object Multimodal {
     media.select(col("media_id"), col("mime"), col("payload"))
       .where(col("mime").isin("image/png", "image/jpeg"))
       .as[MediaRow]
-      .map { r =>
+      .flatMap { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
-        val scale = math.min(1.0,
-          maxSide.toDouble / math.max(img.getWidth, img.getHeight))
-        val w = math.max(1, (img.getWidth * scale).toInt)
-        val h = math.max(1, (img.getHeight * scale).toInt)
-        val out = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = out.createGraphics()
-        g.setRenderingHint(
-          java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, w, h, null)
-        g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        val enc = bos.toByteArray
-        // re-decode the encoded result: the reported dims survive the
-        // full round trip or the row is wrong
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(enc))
-        ResizedMedia(r.media_id, r.mime, back.getWidth, back.getHeight,
-          enc)
+        if (img == null) None else Some(resizeOne(r, img, maxSide))
       }
+  }
+
+  private def resizeOne(r: MediaRow, img: java.awt.image.BufferedImage,
+                        maxSide: Int): ResizedMedia = {
+    val scale = math.min(1.0,
+      maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+    val w = math.max(1, (img.getWidth * scale).toInt)
+    val h = math.max(1, (img.getHeight * scale).toInt)
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(
+      java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    val enc = bos.toByteArray
+    // re-decode the encoded result: the reported dims survive the
+    // full round trip or the row is wrong
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    ResizedMedia(r.media_id, r.mime, back.getWidth, back.getHeight, enc)
   }
 
   case class Frame(media_id: String, frame_idx: Int, pts_ms: Long,

@@ -302,6 +302,28 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal: withPayload passes catalog columns through and " +
+       "tolerates unknown mimes; resizeImages drops undecodable rows " +
+       "instead of failing the job") {
+    import spark.implicits._
+    val catalog = Seq(
+      ("m-1", "image/png", "s3://bucket/m-1"),
+      ("m-2", "application/x-custom", "s3://bucket/m-2"))
+      .toDF("media_id", "mime", "source_url") // no 'bytes' column
+    val out = Multimodal.withPayload(catalog).collect()
+    assert(out.length == 2 &&
+      out.forall(_.getAs[String]("source_url").startsWith("s3://")))
+    assert(out.forall(_.getAs[Array[Byte]]("payload").nonEmpty))
+    // a corrupt image payload is dropped by the resample stage, and a
+    // valid sibling still comes through
+    val mixed = Seq(
+      ("ok", "image/png", Multimodal.pngPayload("ok")),
+      ("bad", "image/png", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "mime", "payload")
+    val resized = Multimodal.resizeImages(mixed, maxSide = 16).collect()
+    assert(resized.map(_.media_id).toSeq == Seq("ok"))
+  }
+
   test("multimodal: real image resample round-trips (dims re-decoded " +
        "from the re-encoded PNG equal the letterbox geometry)") {
     val media = Multimodal.withPayload(gen.SpanGen.media(spark, 300))

@@ -89,6 +89,37 @@ class SurfaceSpec extends SparkTestBase {
         "leaf" -> ((df: org.apache.spark.sql.DataFrame) => df))))
   }
 
+  test("publish: a MIXED registry publishes single members via wrapAll " +
+       "and multi members via wrapAllMulti, each enforcing completeness " +
+       "over its own kind") {
+    val r = new ContractRegistry("graft.testMixed")
+    r.register("solo", C.obj("x" -> C.number))
+    r.registerMulti("duo", Seq(C.obj("a" -> C.number),
+      C.obj("b" -> C.number)))
+    val id = (df: org.apache.spark.sql.DataFrame) => df
+    // wrapAll over the single member only — must NOT demand `duo`
+    val singles = graft.engine.Publish.wrapAll(r, "id")(Map("solo" -> id))
+    assert(singles.keySet == Set("solo"))
+    // wrapAllMulti over the multi member only — must NOT demand `solo`
+    val multis = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "duo" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) => dfs.head)))
+    assert(multis.keySet == Set("duo"))
+    // both still enforce their own completeness
+    intercept[ContractLibraryError](
+      graft.engine.Publish.wrapAll(r, "id")(Map.empty))
+    // and routing a multi member through wrapAll stays rejected
+    val e = intercept[ContractLibraryError](
+      graft.engine.Publish.wrapAll(r, "id")(Map("solo" -> id,
+        "duo" -> id)))
+    assert(e.getMessage.contains("wrapAllMulti"))
+    // the wrapped members work end to end
+    val good = fix("1.0D as x").withColumn("id", lit(1))
+    assert(singles("solo")(good).count() == 1)
+    val a = fix("1.0D as a").withColumn("id", lit(1))
+    val b = fix("2.0D as b").withColumn("id", lit(1))
+    assert(multis("duo")(Seq(a, b)).count() == 1)
+  }
+
   test("publish .returns: result violations blame the MEMBER with the " +
        "'.result' frame (reference callee-blame shape)") {
     val r = new ContractRegistry("graft.test4")
