@@ -41,23 +41,13 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  private def cpuTicks(): (Long, Long) = {
-    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      .trim.split("\\s+")
-    (l(1).toLong + l(2).toLong + l(3).toLong, l(8).toLong)
-  }
+  // steal-aware timing shared with the diagnostic tools — one
+  // definition of the /proc/stat parse, the 3% threshold and the
+  // extend/backoff discipline (graft.tools.StealGate)
+  private def timeSteal(f: => Unit): (Double, Double) =
+    graft.tools.StealGate.timeSteal(f)
 
-  /** (wall seconds, fraction of wanted-CPU stolen by the hypervisor
-    * during the run — /proc/stat steal/(busy+steal) delta). */
-  private def timeSteal(f: => Unit): (Double, Double) = {
-    val (b0, s0) = cpuTicks(); val t0 = System.nanoTime(); f
-    val w = (System.nanoTime() - t0) / 1e9
-    val (b1, s1) = cpuTicks()
-    val (db, ds) = (b1 - b0, s1 - s0)
-    (w, if (db + ds <= 0) 0.0 else ds.toDouble / (db + ds))
-  }
-
-  private val stealMax = 0.03
+  private val stealMax = graft.tools.StealGate.stealMax
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -118,16 +108,8 @@ object Bench {
     // ≤3% stolen — min over honest repeated runs of an identical job,
     // preferring steal-clean samples, estimates the unloaded number.
     val vruns = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-    var vi = 0
-    while (vi < 16 &&
-        (vi < 3 || (withinBudget && !vruns.exists(_._2 <= stealMax)))) {
-      vruns += timeSteal { runValidate(cached); () }
-      // steal bursts last tens of seconds to minutes: when the run was
-      // contaminated, waiting beats burning the retry budget inside the
-      // same burst (measured: 10 back-to-back retries all landed dirty)
-      if (vruns.last._2 > stealMax && vi >= 2) Thread.sleep(12000)
-      vi += 1
-    }
+    vruns ++= graft.tools.StealGate.gatedRuns(3, 16,
+      extend = withinBudget) { runValidate(cached); () }
     // The session min is finalized AFTER the later re-sampling points
     // (see resampleFlagship): co-tenant bursts that steal no CPU
     // (memory-bandwidth / in-VM load, invisible to /proc/stat steal)
@@ -144,10 +126,8 @@ object Bench {
         i += 1
       }
     }
-    def flagshipMin(): Double = {
-      val cleanV = vruns.filter(_._2 <= stealMax)
-      (if (cleanV.nonEmpty) cleanV else vruns).map(_._1).min
-    }
+    def flagshipMin(): Double =
+      graft.tools.StealGate.minPreferClean(vruns.toSeq)
 
     // Scaling evidence: the FULL validation suite (contract + uniqueness
     // + referential + column stats + drift sketch) — the job a
@@ -282,16 +262,9 @@ object Bench {
     // same steal-gated min-of-N discipline as the flagship: this number
     // is the no-straggler skew evidence, and a burst-hit sample would
     // masquerade as a hot-key penalty
-    val sruns = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-    var si = 0
-    while (si < 8 &&
-        (si < 3 || (withinBudget && !sruns.exists(_._2 <= stealMax)))) {
-      sruns += timeSteal { runValidate(skewCached); () }
-      if (sruns.last._2 > stealMax && si >= 2) Thread.sleep(12000)
-      si += 1
-    }
-    val cleanS = sruns.filter(_._2 <= stealMax)
-    val tSkew = (if (cleanS.nonEmpty) cleanS else sruns).map(_._1).min
+    val sruns = graft.tools.StealGate.gatedRuns(3, 8,
+      extend = withinBudget) { runValidate(skewCached); () }
+    val tSkew = graft.tools.StealGate.minPreferClean(sruns)
     skewCached.unpersist(true)
     resampleFlagship(cached) // third flagship window (post-skew)
     cached.unpersist(true)

@@ -16,18 +16,6 @@ import org.apache.spark.sql.SparkSession
   * the driver contract; a builder tool.
   */
 object BenchLinearity {
-  private def cpuTicks(): (Long, Long) = {
-    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      .trim.split("\\s+")
-    (l(1).toLong + l(2).toLong + l(3).toLong, l(8).toLong)
-  }
-  private def timeSteal(f: => Unit): (Double, Double) = {
-    val (b0, s0) = cpuTicks(); val t0 = System.nanoTime(); f
-    val w = (System.nanoTime() - t0) / 1e9
-    val (b1, s1) = cpuTicks()
-    val (db, ds) = (b1 - b0, s1 - s0)
-    (w, if (db + ds <= 0) 0.0 else ds.toDouble / (db + ds))
-  }
 
   def main(args: Array[String]): Unit = {
     val sizes = sys.env.getOrElse("SIZES", "4000000,40000000")
@@ -50,15 +38,9 @@ object BenchLinearity {
       cached.count()
       def run(): Unit = { SpanDocs.validateAll(cached, m).count(); () }
       run() // codegen warm
-      val runs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-      var i = 0
-      while (i < 10 && (i < 3 || !runs.exists(_._2 <= 0.03))) {
-        runs += timeSteal(run())
-        if (runs.last._2 > 0.03 && i >= 2) Thread.sleep(12000)
-        i += 1
-      }
-      val clean = runs.filter(_._2 <= 0.03)
-      val t = (if (clean.nonEmpty) clean else runs).map(_._1).min
+      val runs = StealGate.gatedRuns(3, 10)(run())
+      val clean = runs.filter(_._2 <= StealGate.stealMax)
+      val t = StealGate.minPreferClean(runs)
       cached.unpersist(true)
       println(f"n=$n%d  t=$t%.2fs  docs/s=${n / t}%.0f  " +
         f"(${runs.size} runs, ${clean.size} steal-clean)")
