@@ -294,19 +294,18 @@ object Multimodal {
     if (img == null) return decodeStub(mime, payload) // corrupt
     val w = img.getWidth; val ht = img.getHeight
     val sums = new Array[Double](3); val maxs = new Array[Int](3)
-    var y = 0
-    while (y < ht) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val cs = Array((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
-        var c = 0
-        while (c < 3) {
-          sums(c) += cs(c); if (cs(c) > maxs(c)) maxs(c) = cs(c); c += 1
-        }
-        x += 1
+    // bulk fetch: one color-model conversion per image, not per pixel
+    // (same default-sRGB ints the per-pixel getRGB(x,y) returns)
+    val px = img.getRGB(0, 0, w, ht, null, 0, w)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      var c = 0
+      while (c < 3) {
+        val v = (rgb >> (16 - 8 * c)) & 0xff
+        sums(c) += v; if (v > maxs(c)) maxs(c) = v; c += 1
       }
-      y += 1
+      i += 1
     }
     val n = (w * ht).toDouble
     val emb = Array(
