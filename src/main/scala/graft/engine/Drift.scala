@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.tdigest.TDigestDouble
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -14,16 +15,23 @@ import org.apache.spark.sql.functions._
   *
   * Why a custom Aggregator instead of `percentile_approx`: drift needs a
   * *persistable, mergeable* sketch (saved with a run manifest as the
-  * baseline, merged across partitions and reruns). KLL
-  * (datasketches-java, public Apache project) gives mergeability +
-  * serialization + provable error; the Aggregator buffer ships the
+  * baseline, merged across partitions and reruns). Two interchangeable
+  * backends ship, both from datasketches-java (public Apache project),
+  * both riding the same Aggregator shape — the buffer ships the
   * serialized sketch through Spark's partial/final aggregation, so the
   * whole pass is one scan, constant memory per partition, no shuffle of
-  * raw values — exactly the two-phase shape a 100 TB column needs.
+  * raw values, exactly the two-phase shape a 100 TB column needs:
+  *
+  *  - KLL ([[sketch]]/[[check]]): provable worst-case rank-error bound
+  *    (~1.65% at k=200) — the default.
+  *  - t-digest ([[sketchTd]]/[[checkTd]]): the north_star's named
+  *    sketch (Dunning's merging digest); no worst-case bound but much
+  *    tighter accuracy near the tails, where drift alarms usually fire.
   */
 object Drift {
 
   val K: Int = 200 // KLL accuracy parameter (~1.65% rank error at k=200)
+  val TdK: Short = 200 // t-digest compression (centroids ∝ k)
 
   /** serialization shim: the KLL sketch rides Spark's aggregation buffer
     * as a live heap object (updates are O(1) amortized, no per-row
@@ -98,21 +106,54 @@ object Drift {
     KllDoublesSketch.heapify(Memory.wrap(row.getAs[Array[Byte]](0)))
   }
 
+  // ---- t-digest backend (north_star's named sketch) -----------------
+
+  /** serialization shim for [[TdAgg]] — same live-heap-object pattern
+    * as [[KllHolder]]. */
+  final class TdHolder(@transient var sketch: TDigestDouble)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val b = sketch.toByteArray
+      out.writeInt(b.length); out.write(b)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      sketch = TDigestDouble.heapify(Memory.wrap(b))
+    }
+  }
+
+  /** Aggregator: Dataset[Double] → serialized t-digest bytes. */
+  class TdAgg extends Aggregator[Double, TdHolder, Array[Byte]] {
+    def zero: TdHolder = new TdHolder(new TDigestDouble(TdK))
+    def reduce(buf: TdHolder, v: Double): TdHolder = {
+      buf.sketch.update(v); buf
+    }
+    def merge(a: TdHolder, b: TdHolder): TdHolder = {
+      a.sketch.merge(b.sketch); a
+    }
+    def finish(buf: TdHolder): Array[Byte] = buf.sketch.toByteArray
+    def bufferEncoder: Encoder[TdHolder] =
+      Encoders.javaSerialization[TdHolder]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** one-scan t-digest of a numeric column (nulls skipped). */
+  def sketchTd(df: DataFrame, colName: String): TDigestDouble = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new TdAgg().toColumn
+    val bytes = df.select(col(colName).cast("double")).where(col(colName)
+      .isNotNull).as[Double].select(agg).head()
+    TDigestDouble.heapify(Memory.wrap(bytes))
+  }
+
   case class DriftResult(ks: Double, psi: Double, nA: Long, nB: Long)
 
-  /** Kolmogorov-Smirnov statistic (sup |cdfA - cdfB|) and Population
-    * Stability Index between two sketches, computed driver-side on the
-    * merged quantile grid — O(gridSize), no data access. */
-  def compare(a: KllDoublesSketch, b: KllDoublesSketch,
-              gridSize: Int = 101): DriftResult = {
-    require(!a.isEmpty && !b.isEmpty, "cannot compare empty sketches")
-    val lo = math.min(a.getMinItem, b.getMinItem)
-    val hi = math.max(a.getMaxItem, b.getMaxItem)
-    val grid = (0 until gridSize)
-      .map(i => lo + (hi - lo) * i / (gridSize - 1)).toArray
-    // INCLUSIVE rank = P(X <= x)
-    val ca = grid.map(a.getRank(_))
-    val cb = grid.map(b.getRank(_))
+  /** KS statistic (sup |cdfA - cdfB|) and Population Stability Index
+    * from two CDF vectors sampled on a shared grid — the ONE definition
+    * every path (KLL, t-digest, exact audit) computes. */
+  private[engine] def ksPsi(ca: Array[Double], cb: Array[Double])
+      : (Double, Double) = {
     val ks = ca.zip(cb).map { case (x, y) => math.abs(x - y) }.max
     // PSI over the grid buckets (probability mass per bucket, floored to
     // avoid log(0) blowups)
@@ -121,7 +162,33 @@ object Drift {
       (1 until c.length).map(i => math.max(c(i) - c(i - 1), eps)).toArray
     val ma = masses(ca); val mb = masses(cb)
     val psi = ma.zip(mb).map { case (p, q) => (p - q) * math.log(p / q) }.sum
+    (ks, psi)
+  }
+
+  private def gridOf(lo: Double, hi: Double, gridSize: Int): Array[Double] =
+    (0 until gridSize).map(i => lo + (hi - lo) * i / (gridSize - 1)).toArray
+
+  /** Kolmogorov-Smirnov statistic and Population Stability Index between
+    * two sketches, computed driver-side on the merged quantile grid —
+    * O(gridSize), no data access. */
+  def compare(a: KllDoublesSketch, b: KllDoublesSketch,
+              gridSize: Int = 101): DriftResult = {
+    require(!a.isEmpty && !b.isEmpty, "cannot compare empty sketches")
+    val grid = gridOf(math.min(a.getMinItem, b.getMinItem),
+      math.max(a.getMaxItem, b.getMaxItem), gridSize)
+    // INCLUSIVE rank = P(X <= x)
+    val (ks, psi) = ksPsi(grid.map(a.getRank(_)), grid.map(b.getRank(_)))
     DriftResult(ks, psi, a.getN, b.getN)
+  }
+
+  /** [[compare]] over t-digests. */
+  def compareTd(a: TDigestDouble, b: TDigestDouble,
+                gridSize: Int = 101): DriftResult = {
+    require(!a.isEmpty && !b.isEmpty, "cannot compare empty sketches")
+    val grid = gridOf(math.min(a.getMinValue, b.getMinValue),
+      math.max(a.getMaxValue, b.getMaxValue), gridSize)
+    val (ks, psi) = ksPsi(grid.map(a.getRank(_)), grid.map(b.getRank(_)))
+    DriftResult(ks, psi, a.getTotalWeight, b.getTotalWeight)
   }
 
   /** drift verdict between a column in two datasets (baseline vs
@@ -131,6 +198,19 @@ object Drift {
            (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val r = compare(sketch(baseline, colName), sketch(current, colName))
+    Seq((colName, r.ks, r.psi, r.nA, r.nB,
+      r.ks <= ksThreshold && r.psi <= psiThreshold))
+      .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
+  }
+
+  /** [[check]] on the t-digest backend — same verdict schema, same
+    * thresholds, tail-accurate CDFs. */
+  def checkTd(baseline: DataFrame, current: DataFrame, colName: String,
+              ksThreshold: Double = 0.1, psiThreshold: Double = 0.2)
+             (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val r = compareTd(sketchTd(baseline, colName),
+      sketchTd(current, colName))
     Seq((colName, r.ks, r.psi, r.nA, r.nB,
       r.ks <= ksThreshold && r.psi <= psiThreshold))
       .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
@@ -162,8 +242,7 @@ object Drift {
       return Seq((colName, Double.NaN, Double.NaN, 0L, 0L, false))
         .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-    val grid = (0 until gridSize)
-      .map(i => lo + (hi - lo) * i / (gridSize - 1)).toArray
+    val grid = gridOf(lo, hi, gridSize)
     def cdf(df: DataFrame): (Array[Double], Long) = {
       val aggs = grid.zipWithIndex.map { case (g, i) =>
         sum(when(col("v") <= g, 1L).otherwise(0L)).as(s"c$i")
@@ -178,13 +257,7 @@ object Drift {
     if (nA == 0L || nB == 0L)
       return Seq((colName, Double.NaN, Double.NaN, nA, nB, false))
         .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
-    val ks = ca.zip(cb).map { case (x, y) => math.abs(x - y) }.max
-    val eps = 1e-6
-    def masses(c: Array[Double]): Array[Double] =
-      (1 until c.length).map(i => math.max(c(i) - c(i - 1), eps)).toArray
-    val ma = masses(ca); val mb = masses(cb)
-    val psi = ma.zip(mb).map { case (p, q) => (p - q) * math.log(p / q) }
-      .sum
+    val (ks, psi) = ksPsi(ca, cb)
     Seq((colName, ks, psi, nA, nB,
       ks <= ksThreshold && psi <= psiThreshold))
       .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")

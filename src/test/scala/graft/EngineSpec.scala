@@ -43,6 +43,50 @@ class EngineSpec extends SparkTestBase {
     assert(r2.ks > 0.1 && r2.psi > 0.2, s"drift not detected $r2")
   }
 
+  test("t-digest backend: quantile fidelity, drift verdicts agree with " +
+       "KLL, distributed merge equals one-scan digest") {
+    import spark.implicits._
+    // quantile fidelity vs exact
+    val df = spark.range(0, 10000).select((col("id") % 1000)
+      .cast("double").as("v"))
+    val td = Drift.sketchTd(df, "v")
+    val exact = df.stat.approxQuantile("v", Array(0.25, 0.5, 0.75), 0.0)
+    Array(0.25, 0.5, 0.75).zip(exact).foreach { case (q, e) =>
+      assert(math.abs(td.getQuantile(q) - e) <= 1000 * 0.02,
+        s"q$q: exact $e vs t-digest ${td.getQuantile(q)}")
+    }
+    assert(td.getTotalWeight == 10000)
+    // verdicts agree with the KLL backend on both regimes
+    implicit val s = spark
+    val base = SpanGen.docs(spark, 3000, 4)
+      .select(lit("d").as("doc_id"),
+        size(col("spans")).cast("double").as("n_spans"))
+    val same = SpanGen.docs(spark, 3000, 8, seed = 43)
+      .select(lit("d").as("doc_id"),
+        size(col("spans")).cast("double").as("n_spans"))
+    assert(Drift.checkTd(base, same, "n_spans").head().getAs[Boolean]("pass"))
+    val lenA = SpanGen.docs(spark, 3000, 4)
+      .select(explode(col("spans.text")).as("t")).where(col("t").isNotNull)
+      .select(length(col("t")).cast("double").as("len"))
+    val lenB = SpanGen.docs(spark, 3000, 4, drifted = true)
+      .select(explode(col("spans.text")).as("t")).where(col("t").isNotNull)
+      .select(length(col("t")).cast("double").as("len"))
+    assert(!Drift.checkTd(lenA, lenB, "len").head().getAs[Boolean]("pass"))
+    // mergeability: per-group digests merged on the driver track the
+    // one-scan digest (the partial/final aggregation contract)
+    val g = df.select(col("v"), pmod(col("v").cast("long"), lit(4)).as("g"))
+    val agg = org.apache.spark.sql.functions.udaf(new Drift.TdAgg())
+    val parts = g.groupBy("g").agg(agg(col("v")).as("sk")).collect()
+    val merged = new org.apache.datasketches.tdigest.TDigestDouble(Drift.TdK)
+    parts.foreach { r =>
+      merged.merge(org.apache.datasketches.tdigest.TDigestDouble.heapify(
+        org.apache.datasketches.memory.Memory.wrap(
+          r.getAs[Array[Byte]]("sk"))))
+    }
+    assert(merged.getTotalWeight == 10000)
+    assert(math.abs(merged.getQuantile(0.5) - td.getQuantile(0.5)) <= 20.0)
+  }
+
   test("grouped sketches merge to the global sketch") {
     val df = SpanGen.docs(spark, 2000, 4)
       .select(col("doc_id"), size(col("spans")).cast("double").as("v"),
