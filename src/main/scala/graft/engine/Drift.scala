@@ -75,6 +75,54 @@ object Drift {
     KllDoublesSketch.heapify(Memory.wrap(bytes))
   }
 
+  /** null-safe variant for multi-column passes: per-column null rows
+    * cannot be pre-filtered when many columns share one scan, so the
+    * skip moves into reduce (the encoder maps SQL NULL to None). */
+  class KllAggNullable
+      extends Aggregator[Option[Double], KllHolder, Array[Byte]] {
+    private val inner = new KllAgg()
+    def zero: KllHolder = inner.zero
+    def reduce(buf: KllHolder, v: Option[Double]): KllHolder = {
+      v.foreach(buf.sketch.update); buf
+    }
+    def merge(a: KllHolder, b: KllHolder): KllHolder = inner.merge(a, b)
+    def finish(buf: KllHolder): Array[Byte] = inner.finish(buf)
+    def bufferEncoder: Encoder[KllHolder] = inner.bufferEncoder
+    def outputEncoder: Encoder[Array[Byte]] = inner.outputEncoder
+  }
+
+  /** sketch MANY numeric columns in ONE scan — at 100 TB, N sketches
+    * must not cost N table scans. One null-safe KLL aggregate per
+    * column rides the same partial/final aggregation; per-column nulls
+    * are skipped inside the aggregate (a WHERE would drop the whole
+    * row for every column). */
+  def sketchAll(df: DataFrame, cols: Seq[String])
+      : Map[String, KllDoublesSketch] = {
+    require(cols.nonEmpty, "sketchAll needs at least one column")
+    val agg = udaf(new KllAggNullable())
+    val aggCols = cols.map(c => agg(col(c).cast("double")).as(c))
+    val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> KllDoublesSketch.heapify(Memory.wrap(row.getAs[Array[Byte]](i)))
+    }.toMap
+  }
+
+  /** drift verdicts for MANY columns between two datasets — exactly
+    * two table scans total ([[sketchAll]] on each side), one verdict
+    * row per column in `cols` order. */
+  def checkAll(baseline: DataFrame, current: DataFrame, cols: Seq[String],
+               ksThreshold: Double = 0.1, psiThreshold: Double = 0.2)
+              (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val a = sketchAll(baseline, cols)
+    val b = sketchAll(current, cols)
+    cols.map { c =>
+      val r = compare(a(c), b(c))
+      (c, r.ks, r.psi, r.nA, r.nB,
+        r.ks <= ksThreshold && r.psi <= psiThreshold)
+    }.toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
+  }
+
   /** grouped sketches: one per key (e.g. per partition / per day). */
   def sketchBy(df: DataFrame, colName: String, keyCol: String): DataFrame = {
     val spark = df.sparkSession

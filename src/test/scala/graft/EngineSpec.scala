@@ -105,6 +105,31 @@ class EngineSpec extends SparkTestBase {
     assert(math.abs(merged.getQuantile(0.5) - direct.getQuantile(0.5)) < 1.0)
   }
 
+  test("sketchAll: many columns in ONE scan, per-column nulls skipped " +
+       "inside the aggregate; checkAll verdicts match per-column check") {
+    import spark.implicits._
+    implicit val s = spark
+    val df = spark.range(0, 5000).select(
+      (col("id") % 100).cast("double").as("a"),
+      when(col("id") % 5 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 7).cast("double")).as("b"))
+    val sks = Drift.sketchAll(df, Seq("a", "b"))
+    assert(sks("a").getN == 5000)
+    assert(sks("b").getN == 4000) // 1000 nulls skipped for b only
+    // agrees with the single-column path (tolerance: KLL compaction is
+    // randomized, so independent passes differ within the error bound)
+    assert(math.abs(sks("a").getQuantile(0.5) -
+      Drift.sketch(df, "a").getQuantile(0.5)) <= 100 * 0.05)
+    // checkAll: one verdict row per column, same semantics as check()
+    val cur = spark.range(0, 5000).select(
+      (col("id") % 100).cast("double").as("a"), // same regime
+      (col("id") % 7 + 50).cast("double").as("b")) // shifted regime
+    val rows = Drift.checkAll(df, cur, Seq("a", "b")).collect()
+    assert(rows.map(_.getAs[String]("column")).toSeq == Seq("a", "b"))
+    assert(rows(0).getAs[Boolean]("pass") && !rows(1).getAs[Boolean]("pass"))
+    assert(rows(1).getAs[Long]("n_baseline") == 4000)
+  }
+
   test("sketch persistence: save/load round-trips bytes; merged runs " +
        "accumulate n exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sk")
