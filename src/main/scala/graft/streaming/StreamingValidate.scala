@@ -98,18 +98,35 @@ object StreamingValidate {
   def windowedDrift(stream: DataFrame, valueCol: String, tsCol: String,
                     window: String, watermark: String,
                     baseline: Array[Byte], ksThreshold: Double = 0.1,
-                    psiThreshold: Double = 0.2): DataFrame = {
+                    psiThreshold: Double = 0.2,
+                    backend: String = "kll"): DataFrame = {
     require(baseline != null && baseline.nonEmpty,
       "windowedDrift requires a non-empty serialized baseline sketch")
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.memory.Memory
-    val sketchAgg = udaf(new graft.engine.Drift.KllAgg())
-    val cmp = udf((bytes: Array[Byte]) => {
-      val r = graft.engine.Drift.compare(
-        KllDoublesSketch.heapify(Memory.wrap(baseline)),
-        KllDoublesSketch.heapify(Memory.wrap(bytes)))
-      (r.ks, r.psi)
-    })
+    import org.apache.datasketches.tdigest.TDigestDouble
+    // the baseline bytes must come from the SAME backend (Drift.sketch
+    // for "kll", Drift.sketchTd for "tdigest")
+    val (sketchAgg, cmp) = backend match {
+      case "kll" =>
+        (udaf(new graft.engine.Drift.KllAgg()),
+          udf((bytes: Array[Byte]) => {
+            val r = graft.engine.Drift.compare(
+              KllDoublesSketch.heapify(Memory.wrap(baseline)),
+              KllDoublesSketch.heapify(Memory.wrap(bytes)))
+            (r.ks, r.psi)
+          }))
+      case "tdigest" =>
+        (udaf(new graft.engine.Drift.TdAgg()),
+          udf((bytes: Array[Byte]) => {
+            val r = graft.engine.Drift.compareTd(
+              TDigestDouble.heapify(Memory.wrap(baseline)),
+              TDigestDouble.heapify(Memory.wrap(bytes)))
+            (r.ks, r.psi)
+          }))
+      case other => throw new IllegalArgumentException(
+        s"unknown drift backend '$other' (kll | tdigest)")
+    }
     // watermark AFTER the cast projection (watermark column identity
     // must survive into the aggregation)
     stream.select(col(tsCol), col(valueCol).cast("double").as("_v"))

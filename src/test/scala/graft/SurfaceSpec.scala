@@ -380,6 +380,29 @@ class SurfaceSpec extends SparkTestBase {
     assert(rows.length == 2, s"expected 2 closed windows, got ${rows.toSeq}")
     assert(rows(0)._2 == 100 && rows(0)._3, s"window A should pass: ${rows(0)}")
     assert(rows(1)._2 == 100 && !rows(1)._3, s"window B should drift: ${rows(1)}")
+
+    // same scenario on the t-digest backend: same verdicts
+    val baseTd = graft.engine.Drift.sketchTd(
+      (1 to 100).map(_.toDouble).toDF("v"), "v").toByteArray
+    val mem2 = MemoryStream[(java.sql.Timestamp, Double)]
+    val out2 = StreamingValidate.windowedDrift(
+      mem2.toDF().toDF("ts", "v"), "v", "ts",
+      "10 minutes", "5 minutes", baseTd, backend = "tdigest")
+    val q2 = out2.writeStream.format("memory").queryName("wdtd")
+      .outputMode("append").start()
+    mem2.addData((1 to 100).map(i => (ts(10, 1), i.toDouble)): _*)
+    mem2.addData((1 to 100).map(i => (ts(10, 11), 1000.0 + i)): _*)
+    mem2.addData((ts(11, 0), 50.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows2 = spark.table("wdtd").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[Boolean]("pass"))).sortBy(_._1)
+    assert(rows2.length == 2 && rows2(0)._2 && !rows2(1)._2,
+      s"t-digest backend verdicts wrong: ${rows2.toSeq}")
+    intercept[IllegalArgumentException](StreamingValidate.windowedDrift(
+      mem2.toDF().toDF("ts", "v"), "v", "ts", "10 minutes", "5 minutes",
+      baseTd, backend = "bogus"))
   }
 
   test("streaming: MinHash-LSH near-dup detects a near-copy across " +
