@@ -302,6 +302,24 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal: the decode scan prunes to (media_id, mime, payload) " +
+       "across the object boundary — catalog width never reaches IO") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    // catalog wider than the decode needs: bytes + two extra columns
+    Multimodal.withPayload(gen.SpanGen.media(spark, 50))
+      .withColumn("source_url", concat(lit("s3://b/"), col("media_id")))
+      .withColumn("crawl_ts", current_timestamp())
+      .write.mode("overwrite").parquet(tmp)
+    val plan = Multimodal.extractFeatures(spark.read.parquet(tmp))
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("media_id") && readSchema.contains("payload"))
+    assert(!readSchema.contains("source_url") &&
+      !readSchema.contains("crawl_ts") && !readSchema.contains("bytes"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
   test("multimodal: withPayload passes catalog columns through and " +
        "tolerates unknown mimes; resizeImages drops undecodable rows " +
        "instead of failing the job") {
