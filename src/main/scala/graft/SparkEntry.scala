@@ -280,6 +280,14 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("id")),
 
+    // char-trigram language ID (the n-gram sibling of text_langid;
+    // profile-occurrence counts are literal-pattern regexp_counts,
+    // integer-exact in both engines)
+    "text_langid_trigram" -> ((s, dir) =>
+      pipeline.TextAnalysis.langIdTrigram(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id")),
+
     // quality scoring (counts + rounded ratios)
     "text_quality" -> ((s, dir) =>
       pipeline.TextAnalysis.quality(t(s, dir, "documents"),
@@ -717,6 +725,28 @@ object SparkEntry {
          |$counts
          |FROM documents)
          |SELECT id, ${langs.map(l => s"n_$l").mkString(", ")},
+         |  CASE WHEN $mx <= 0 THEN 'und' $caseArm ELSE 'und' END
+         |    AS lang_guess
+         |FROM c ORDER BY id""".stripMargin
+    },
+
+    // generated from the same static trigram profiles as the engine —
+    // parity by construction
+    "text_langid_trigram" -> {
+      def cnt(l: String): String =
+        pipeline.TextAnalysis.trigramProfiles.toMap.apply(l)
+          .map(t => s"len(regexp_extract_all(lower(text), '$t'))")
+          .mkString(" + ")
+      val langs = pipeline.TextAnalysis.trigramProfiles.map(_._1)
+      val counts = langs.map(l => s"  ${cnt(l)} AS tg_$l").mkString(",\n")
+      val mx = langs.map(l => s"tg_$l").mkString("greatest(", ", ", ")")
+      val caseArm = langs.map(l => s"WHEN tg_$l = $mx THEN '$l'")
+        .mkString(" ")
+      s"""WITH c AS (
+         |SELECT doc_id AS id,
+         |$counts
+         |FROM documents)
+         |SELECT id, ${langs.map(l => s"tg_$l").mkString(", ")},
          |  CASE WHEN $mx <= 0 THEN 'und' $caseArm ELSE 'und' END
          |    AS lang_guess
          |FROM c ORDER BY id""".stripMargin

@@ -47,6 +47,42 @@ object TextAnalysis {
     withCounts.withColumn("lang_guess", best)
   }
 
+  /** language → distinctive character trigrams (the classic char-n-gram
+    * language-ID heuristic, n=3; tiny deterministic profiles — real
+    * systems learn them from corpora, the scoring shape is the
+    * operator). Literal patterns only, so non-overlapping regexp_count
+    * is integer-exact and engine-agnostic. */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "ion", "ent", "hat", "for", "his"),
+    "es" -> Seq("que", "los", "ado", "cio", "nte", "ien", "una", "por"),
+    "de" -> Seq("der", "die", "und", "sch", "ich", "ein", "ung", "cht"),
+    "fr" -> Seq("les", "des", "ait", "oit", "eur", "ois", "ans", "une"))
+
+  /** total profile-trigram occurrences for one language over lowered
+    * text (non-overlapping, literal match). */
+  def trigramCount(txt: Column, lang: String): Column =
+    trigramProfiles.toMap.apply(lang)
+      .map(t => regexp_count(txt, lit(t)))
+      .reduce(_ + _)
+
+  /** char-trigram language ID: per-language profile-occurrence counts +
+    * argmax guess (declaration-order tie-break, all-zero → 'und') —
+    * the n-gram sibling of the word-level [[langId]]. */
+  def langIdTrigram(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val txt = lower(col(textCol))
+    val withCounts = df.select(
+      (col(idCol).as("id") +:
+        trigramProfiles.map { case (l, _) =>
+          trigramCount(txt, l).as(s"tg_$l") }): _*)
+    val mx = greatest(trigramProfiles.map(x => col(s"tg_${x._1}")): _*)
+    val best = when(mx <= 0, lit("und")).otherwise(
+      trigramProfiles.map(_._1).foldRight(lit("und")) { case (l, acc) =>
+        when(col(s"tg_$l") === mx, lit(l)).otherwise(acc)
+      })
+    withCounts.withColumn("lang_guess", best)
+  }
+
   /** quality metrics: counts exact, ratios rounded(4) for cross-engine
     * float stability. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {

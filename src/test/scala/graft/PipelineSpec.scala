@@ -372,4 +372,24 @@ class PipelineSpec extends SparkTestBase {
     // vocab contains 'a' and 'the' → English stopwords dominate
     assert(out.where(col("lang_guess") === "en").count() > 0)
   }
+
+  test("char-trigram langid scores planted languages correctly and " +
+       "falls back to 'und'") {
+    import spark.implicits._
+    val planted = Seq(
+      ("d1", "the thing and the other thing for his information"),
+      ("d2", "der dichter und die einsicht durchsuchen einige"),
+      ("d3", "les oiseaux des bois chantaient une chanson"),
+      ("d4", "zzz qqq xxx")) // no profile trigram at all
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langIdTrigram(planted, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[String]("lang_guess")).toMap
+    assert(out("d1") == "en" && out("d2") == "de" && out("d3") == "fr" &&
+      out("d4") == "und", s"got $out")
+    // deterministic over the generated corpus, counts non-negative
+    val gen = TextAnalysis.langIdTrigram(docs, "doc_id", "text")
+    assert(gen.count() == docs.count())
+    assert(gen.where(col("tg_en") < 0).count() == 0)
+  }
 }
