@@ -109,7 +109,10 @@ object Drift {
 
   /** drift verdicts for MANY columns between two datasets — exactly
     * two table scans total ([[sketchAll]] on each side), one verdict
-    * row per column in `cols` order. */
+    * row per column in `cols` order. A column that is empty on either
+    * side (all NULL — e.g. not yet backfilled) gets an explicit
+    * indeterminate fail row (NaN, NaN, pass=false) instead of
+    * discarding every other column's verdict. */
   def checkAll(baseline: DataFrame, current: DataFrame, cols: Seq[String],
                ksThreshold: Double = 0.1, psiThreshold: Double = 0.2)
               (implicit spark: SparkSession): DataFrame = {
@@ -117,9 +120,13 @@ object Drift {
     val a = sketchAll(baseline, cols)
     val b = sketchAll(current, cols)
     cols.map { c =>
-      val r = compare(a(c), b(c))
-      (c, r.ks, r.psi, r.nA, r.nB,
-        r.ks <= ksThreshold && r.psi <= psiThreshold)
+      if (a(c).isEmpty || b(c).isEmpty)
+        (c, Double.NaN, Double.NaN, a(c).getN, b(c).getN, false)
+      else {
+        val r = compare(a(c), b(c))
+        (c, r.ks, r.psi, r.nA, r.nB,
+          r.ks <= ksThreshold && r.psi <= psiThreshold)
+      }
     }.toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
   }
 

@@ -294,18 +294,26 @@ object Multimodal {
     if (img == null) return decodeStub(mime, payload) // corrupt
     val w = img.getWidth; val ht = img.getHeight
     val sums = new Array[Double](3); val maxs = new Array[Int](3)
-    // bulk fetch: one color-model conversion per image, not per pixel
-    // (same default-sRGB ints the per-pixel getRGB(x,y) returns)
-    val px = img.getRGB(0, 0, w, ht, null, 0, w)
-    var i = 0
-    while (i < px.length) {
-      val rgb = px(i)
-      var c = 0
-      while (c < 3) {
-        val v = (rgb >> (16 - 8 * c)) & 0xff
-        sums(c) += v; if (v > maxs(c)) maxs(c) = v; c += 1
+    // row-strip fetch: one color-model conversion per ROW (not per
+    // pixel — same default-sRGB ints getRGB(x,y) returns) into a
+    // reused w-length buffer, so extra memory stays O(w) and a
+    // decompression-bomb image cannot OOM the executor with a full
+    // w*ht int copy of the raster
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < ht) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var i = 0
+      while (i < w) {
+        val rgb = rowBuf(i)
+        var c = 0
+        while (c < 3) {
+          val v = (rgb >> (16 - 8 * c)) & 0xff
+          sums(c) += v; if (v > maxs(c)) maxs(c) = v; c += 1
+        }
+        i += 1
       }
-      i += 1
+      y += 1
     }
     val n = (w * ht).toDouble
     val emb = Array(

@@ -30,6 +30,18 @@ object TextAnalysis {
     size(filter(toks, t => t.isInCollection(set)))
   }
 
+  /** argmax over per-language count columns: first-in-declaration-order
+    * wins ties, all-zero → 'und' — the ONE definition both language-ID
+    * heuristics (and their generated oracle SQL) follow. */
+  private def langArgmax(langs: Seq[String], countCol: String => Column)
+      : Column = {
+    val mx = greatest(langs.map(countCol): _*)
+    when(mx <= 0, lit("und")).otherwise(
+      langs.foldRight(lit("und")) { case (l, acc) =>
+        when(countCol(l) === mx, lit(l)).otherwise(acc)
+      })
+  }
+
   /** per-language stopword hit counts + argmax guess (deterministic
     * tie-break: declaration order; all-zero → 'und'). */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -38,13 +50,8 @@ object TextAnalysis {
       (col(idCol).as("id") +:
         stopwords.map { case (l, _) =>
           stopCount(toks, l).as(s"n_$l") }): _*)
-    // argmax, first-in-declaration-order wins ties; all-zero → 'und'
-    val mx = greatest(stopwords.map(x => col(s"n_${x._1}")): _*)
-    val best = when(mx <= 0, lit("und")).otherwise(
-      stopwords.map(_._1).foldRight(lit("und")) { case (l, acc) =>
-        when(col(s"n_$l") === mx, lit(l)).otherwise(acc)
-      })
-    withCounts.withColumn("lang_guess", best)
+    withCounts.withColumn("lang_guess",
+      langArgmax(stopwords.map(_._1), l => col(s"n_$l")))
   }
 
   /** language → distinctive character trigrams (the classic char-n-gram
@@ -75,12 +82,8 @@ object TextAnalysis {
       (col(idCol).as("id") +:
         trigramProfiles.map { case (l, _) =>
           trigramCount(txt, l).as(s"tg_$l") }): _*)
-    val mx = greatest(trigramProfiles.map(x => col(s"tg_${x._1}")): _*)
-    val best = when(mx <= 0, lit("und")).otherwise(
-      trigramProfiles.map(_._1).foldRight(lit("und")) { case (l, acc) =>
-        when(col(s"tg_$l") === mx, lit(l)).otherwise(acc)
-      })
-    withCounts.withColumn("lang_guess", best)
+    withCounts.withColumn("lang_guess",
+      langArgmax(trigramProfiles.map(_._1), l => col(s"tg_$l")))
   }
 
   /** quality metrics: counts exact, ratios rounded(4) for cross-engine

@@ -42,10 +42,13 @@ object StealGate {
       : Seq[(Double, Double)] = {
     val runs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     var i = 0
-    while (i < maxRuns &&
-        (i < minRuns || (extend && !runs.exists(_._2 <= stealMax)))) {
+    def continuing(next: Int): Boolean = next < maxRuns &&
+      (next < minRuns || (extend && !runs.exists(_._2 <= stealMax)))
+    while (continuing(i)) {
       runs += timeSteal(f)
-      if (runs.last._2 > stealMax && i >= minRuns - 1)
+      // only worth waiting out a burst if another sample will follow —
+      // a sleep before guaranteed exit just burns the caller's budget
+      if (runs.last._2 > stealMax && i >= minRuns - 1 && continuing(i + 1))
         Thread.sleep(backoffMs)
       i += 1
     }

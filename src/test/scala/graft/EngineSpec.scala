@@ -128,6 +128,14 @@ class EngineSpec extends SparkTestBase {
     assert(rows.map(_.getAs[String]("column")).toSeq == Seq("a", "b"))
     assert(rows(0).getAs[Boolean]("pass") && !rows(1).getAs[Boolean]("pass"))
     assert(rows(1).getAs[Long]("n_baseline") == 4000)
+    // a column empty on one side (all NULL, e.g. not yet backfilled)
+    // yields an indeterminate fail row — the other columns' verdicts
+    // survive instead of the whole call throwing
+    val curNull = cur.withColumn("b", lit(null).cast("double"))
+    val r2 = Drift.checkAll(df, curNull, Seq("a", "b")).collect()
+    assert(r2(0).getAs[Boolean]("pass"))
+    assert(!r2(1).getAs[Boolean]("pass") && r2(1).getAs[Double]("ks").isNaN)
+    assert(r2(1).getAs[Long]("n_current") == 0L)
   }
 
   test("sketch persistence: save/load round-trips bytes; merged runs " +
