@@ -55,22 +55,24 @@ object Runner {
   }
 
   def init(spark: SparkSession, inputDir: String, nDocs: Long,
-           nParts: Int): Unit = {
+           nParts: Int, format: String = "parquet"): Unit = {
     val docs = SpanGen.docs(spark, nDocs, nParts,
         defects = SpanGen.Defects(nullKind = true, badKind = true,
           danglingRef = true, dupDocId = true, rate = 1000))
       .withColumn("part",
         pmod(xxhash64(col("doc_id")), lit(nParts.toLong)).cast("int"))
     docs.write.mode(SaveMode.Overwrite).partitionBy("part")
-      .parquet(s"$inputDir/docs")
+      .format(format).save(s"$inputDir/docs")
     SpanGen.media(spark, 10000).write.mode(SaveMode.Overwrite)
-      .parquet(s"$inputDir/media")
+      .format(format).save(s"$inputDir/media")
   }
 
   /** snapshot id = fingerprint of the input file listing (names+sizes) —
-    * the partitioned-Parquet stand-in for an Iceberg snapshot id.
+    * the partitioned-table stand-in for an Iceberg snapshot id.
     * Resolved through the Hadoop FileSystem API so it works on any
-    * supported store (local, HDFS, s3a), not just java.io paths. */
+    * supported store (local, HDFS, s3a), not just java.io paths.
+    * Counts every DATA file (metadata/hidden files — `_SUCCESS`,
+    * `.crc` — excluded), so it is format-agnostic. */
   def snapshotId(spark: SparkSession, inputDir: String): String = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$inputDir/docs")
@@ -79,7 +81,8 @@ object Runner {
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet"))
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
         files += s"${f.getPath.toUri.getPath}:${f.getLen}"
     }
     val listing = files.sorted.mkString("\n")
@@ -110,8 +113,15 @@ object Runner {
     * scheduler interleaves their stages and a long tail partition no
     * longer serializes the run. Crash-safety is per partition (outputs
     * before manifest row), so concurrency does not weaken resume. */
+  /** `format` is any Spark DataSource able to represent the span schema
+    * (parquet default; orc and json ship with Spark — json callers
+    * should write with an embedded-schema-preserving generator or
+    * accept inference). The violations/manifest SINK stays parquet:
+    * outputs are the engine's own artifact, inputs are whatever the
+    * lake holds. */
   def run(spark: SparkSession, inputDir: String, outDir: String,
-          maxParts: Int = Int.MaxValue): (Int, Int) = {
+          maxParts: Int = Int.MaxValue,
+          format: String = "parquet"): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val snap = snapshotId(spark, inputDir)
     // contract catalog rides with the outputs (idempotent overwrite),
@@ -121,8 +131,8 @@ object Runner {
     val out = fs.create(regPath, true)
     try out.write(registry.toManifestJson.getBytes("UTF-8"))
     finally out.close()
-    val docs = spark.read.parquet(s"$inputDir/docs")
-    val media = spark.read.parquet(s"$inputDir/media").cache()
+    val docs = spark.read.format(format).load(s"$inputDir/docs")
+    val media = spark.read.format(format).load(s"$inputDir/media").cache()
     val parts = docs.select("part").distinct().collect()
       .map(_.getInt(0)).sorted
     val done = Manifest.completed(spark, outDir, snap)

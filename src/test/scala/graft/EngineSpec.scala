@@ -156,6 +156,22 @@ class EngineSpec extends SparkTestBase {
     assert(back.getN == 2 * sk.getN)
   }
 
+  test("format-agnostic source: an ORC input yields exactly the " +
+       "violations of the parquet run over the same generated table") {
+    val tmp = Files.createTempDirectory("graft-fmt").toString
+    Runner.init(spark, s"$tmp/in_pq", 3000, 4)
+    Runner.init(spark, s"$tmp/in_orc", 3000, 4, format = "orc")
+    val (p1, _) = Runner.run(spark, s"$tmp/in_pq", s"$tmp/out_pq")
+    val (p2, _) = Runner.run(spark, s"$tmp/in_orc", s"$tmp/out_orc",
+      format = "orc")
+    assert(p1 == 4 && p2 == 4)
+    val a = spark.read.parquet(s"$tmp/out_pq/violations")
+    val b = spark.read.parquet(s"$tmp/out_orc/violations")
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "ORC-sourced violations differ from parquet-sourced")
+  }
+
   test("kill/resume: completed partitions are not recomputed; outputs " +
        "are byte-identical to an uninterrupted run") {
     val tmp = Files.createTempDirectory("graft-resume").toString
