@@ -190,19 +190,29 @@ object Bench {
       timeSteal(suite(slices(parts)))
     }
     runLevel(32) // codegen warm (suite shares plans across levels)
+    // Plausibility ceiling for accepted pairs: perfect (or better) 2→8
+    // scaling is physically impossible for this suite (shuffles + fixed
+    // serial work; clean sessions measure 0.85-0.95), so a pair AT the
+    // ceiling means the 2c leg was slowed by contention invisible to
+    // /proc/stat steal (memory bandwidth, scheduler) — one measured
+    // session recorded a "0.0%-steal" pair at exactly 1.000 alongside a
+    // 0.317 sibling. Rejecting it makes the loop keep sampling until a
+    // CREDIBLE pair lands instead of stopping at an inflated one.
+    val effCeiling = 0.98
     case class Pair(t2: Double, s2: Double, t8: Double, s8: Double) {
       def eff: Double = t2 / (4.0 * t8)
-      def clean: Boolean = s2 <= stealMax && s8 <= stealMax && eff <= 1.0
+      def clean: Boolean =
+        s2 <= stealMax && s8 <= stealMax && eff <= effCeiling
       // steal-corrected efficiency: a leg that had fraction s of its
       // wanted CPU stolen effectively ran on (1-s) of the cores, so its
       // unloaded wall estimate is t*(1-s). Used ONLY as the labeled
       // fallback when no steal-clean pair lands in the whole session
       // (sustained-burst hosts) — corrected pairs are acceptable only
       // when the correction is modest (both legs <= 20% stolen) and the
-      // result is physically possible (<= 1.0).
+      // result is physically plausible (<= the same ceiling).
       def effCorr: Double = (t2 * (1.0 - s2)) / (4.0 * t8 * (1.0 - s8))
       def acceptableCorr: Boolean =
-        s2 <= 0.2 && s8 <= 0.2 && effCorr <= 1.0
+        s2 <= 0.2 && s8 <= 0.2 && effCorr <= effCeiling
     }
     val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
     val t32runs = scala.collection.mutable.ArrayBuffer[Double]()
