@@ -73,7 +73,16 @@ object Runner {
     * supported store (local, HDFS, s3a), not just java.io paths.
     * Counts every DATA file (metadata/hidden files — `_SUCCESS`,
     * `.crc` — excluded), so it is format-agnostic. */
-  def snapshotId(spark: SparkSession, inputDir: String): String = {
+  def snapshotId(spark: SparkSession, inputDir: String): String =
+    hashListing(dataFiles(spark, inputDir))
+
+  private def hashListing(files: Seq[String]): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        files.sorted.mkString("\n")).toLong)
+
+  private def dataFiles(spark: SparkSession, inputDir: String)
+      : Seq[String] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$inputDir/docs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -85,9 +94,27 @@ object Runner {
       if (!name.startsWith("_") && !name.startsWith("."))
         files += s"${f.getPath.toUri.getPath}:${f.getLen}"
     }
-    val listing = files.sorted.mkString("\n")
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(listing).toLong)
+    files.toSeq
+  }
+
+  /** per-partition INPUT fingerprints: each `part=k` directory's file
+    * listing (paths+sizes) hashed independently — the incremental-scan
+    * key. A snapshot that only appended files to partition 3 changes
+    * partition 3's fp and nobody else's, so resume recomputes exactly
+    * the touched partitions (the global snapshot id, by contrast,
+    * changes whenever ANY file changes). Empty map when the layout is
+    * not `part=k`-partitioned — callers then fall back to global
+    * snapshot-keyed resume. */
+  private val PartRe = ".*/part=(\\d+)/.*".r
+  def partitionInputFps(spark: SparkSession, inputDir: String)
+      : Map[Int, String] = {
+    val keyed = dataFiles(spark, inputDir).map {
+      case f @ PartRe(k) => k.toInt -> f
+      case _             => -1 -> "" // unpartitioned layout marker
+    }
+    if (keyed.exists(_._1 < 0)) Map.empty
+    else keyed.groupBy(_._1)
+      .map { case (k, fs) => k -> hashListing(fs.map(_._2)) }
   }
 
   /** the run's contract catalog, written with every run manifest so
@@ -113,15 +140,39 @@ object Runner {
     * scheduler interleaves their stages and a long tail partition no
     * longer serializes the run. Crash-safety is per partition (outputs
     * before manifest row), so concurrency does not weaken resume. */
+  /** thrown when the violation-rate circuit breaker trips: at 10¹² rows
+    * a systematically-broken snapshot (bad upstream writer, schema
+    * drift) must fail in minutes, not burn a day writing 10¹¹ violation
+    * rows. Completed partitions keep their manifest rows, so a rerun
+    * after the fix resumes instead of restarting. */
+  final case class RunAborted(processed: Int, nChecked: Long,
+                              nFailed: Long, maxRate: Double)
+      extends RuntimeException(
+        f"validation aborted: violation rate ${nFailed.toDouble /
+          math.max(1L, nChecked)}%.4f over $nChecked%d docs after " +
+        f"$processed%d partitions exceeds maxViolRate=$maxRate%.4f")
+
   /** `format` is any Spark DataSource able to represent the span schema
     * (parquet default; orc and json ship with Spark — json callers
     * should write with an embedded-schema-preserving generator or
     * accept inference). The violations/manifest SINK stays parquet:
     * outputs are the engine's own artifact, inputs are whatever the
-    * lake holds. */
+    * lake holds.
+    *
+    * Resume is two-keyed: a partition is skipped when its manifest row
+    * matches the current global snapshot id (the round-2 behavior), OR
+    * when its recorded per-partition input fingerprint still matches
+    * the current `part=k` file listing — so appending one partition's
+    * files to a 10¹²-row table recomputes ONE partition, not all of
+    * them (incremental-scan semantics; see [[partitionInputFps]]).
+    *
+    * `maxViolRate` arms the circuit breaker: once the cumulative
+    * distinct-failing-doc rate across completed partitions exceeds it,
+    * no further partitions start and [[RunAborted]] is thrown. */
   def run(spark: SparkSession, inputDir: String, outDir: String,
           maxParts: Int = Int.MaxValue,
-          format: String = "parquet"): (Int, Int) = {
+          format: String = "parquet",
+          maxViolRate: Option[Double] = None): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val snap = snapshotId(spark, inputDir)
     // contract catalog rides with the outputs (idempotent overwrite),
@@ -135,9 +186,23 @@ object Runner {
     val media = spark.read.format(format).load(s"$inputDir/media").cache()
     val parts = docs.select("part").distinct().collect()
       .map(_.getInt(0)).sorted
-    val done = Manifest.completed(spark, outDir, snap)
+    val partFps = partitionInputFps(spark, inputDir)
+    val doneSnap = Manifest.completed(spark, outDir, snap)
+    val doneFp: Set[Int] =
+      if (partFps.isEmpty) Set.empty
+      else {
+        val recorded = Manifest.latestInputFps(spark, outDir)
+        parts.filter(k =>
+          recorded.get(k).exists(fp => partFps.get(k).contains(fp))).toSet
+      }
+    val done = doneSnap ++ doneFp
     val pending = parts.filterNot(done).take(maxParts)
-    val seq = new java.util.concurrent.atomic.AtomicLong(done.size.toLong)
+    val seq = new java.util.concurrent.atomic.AtomicLong(
+      Manifest.nextSeq(spark, outDir))
+    val checkedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val failedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
     val conc = spark.conf.getOption("spark.graft.runner.concurrency")
       .map(_.toInt).getOrElse(4)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -146,6 +211,7 @@ object Runner {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = pending.toSeq.map { k =>
       scala.concurrent.Future {
+        if (tripped.get) () else {
         val slice = docs.where(col("part") === k) // partition-pruned scan
         // observe on the contract branch only (it scans every input row
         // exactly once); uniqueness/referential branches use the raw
@@ -175,13 +241,23 @@ object Runner {
         val nFailed = spark.read.parquet(s"$outDir/violations/part=$k")
           .select("doc_id").distinct().count()
         Manifest.append(spark, outDir, snap, k, counts, nFailed, fp,
-          seq.getAndIncrement())
+          seq.getAndIncrement(), partFps.get(k))
+        ran.incrementAndGet()
+        val c = checkedTotal.addAndGet(counts)
+        val f = failedTotal.addAndGet(nFailed)
+        maxViolRate.foreach { r =>
+          if (c > 0 && f.toDouble / c > r) tripped.set(true)
+        }
+        }
       }
     }
     import scala.concurrent.duration._
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures), 24.hours)
     finally pool.shutdown() // non-daemon threads would pin the JVM on failure
+    if (tripped.get)
+      throw RunAborted(ran.get(), checkedTotal.get(), failedTotal.get(),
+        maxViolRate.get)
     (pending.length, done.size)
   }
 }

@@ -202,6 +202,69 @@ class EngineSpec extends SparkTestBase {
     assert(p3 == 0 && s3 == 8)
   }
 
+  test("incremental resume: a snapshot that touches one partition's " +
+       "files recomputes only that partition, and the resumed outputs " +
+       "equal a from-scratch run over the evolved input") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = Files.createTempDirectory("graft-incr").toString
+    Runner.init(spark, s"$tmp/in", 4000, 4)
+    val (p0, s0) = Runner.run(spark, s"$tmp/in", s"$tmp/out")
+    assert(p0 == 4 && s0 == 0)
+
+    // snapshot evolution: append files into part=2 only (duplicated
+    // docs → fresh uniqueness violations there)
+    val extra = spark.read.parquet(s"$tmp/in/docs")
+      .where(col("part") === 2).drop("part").limit(50)
+    extra.write.mode(SaveMode.Append).parquet(s"$tmp/in/docs/part=2")
+
+    // the global snapshot id changed, but only part=2's input fp did
+    val (p1, s1) = Runner.run(spark, s"$tmp/in", s"$tmp/out")
+    assert(p1 == 1 && s1 == 3,
+      s"expected exactly the touched partition: processed=$p1 skipped=$s1")
+
+    // resumed outputs ≡ an uninterrupted run over the evolved input
+    val (p2, _) = Runner.run(spark, s"$tmp/in", s"$tmp/out_fresh")
+    assert(p2 == 4)
+    val cols = Seq("doc_id", "path", "contract_repr", "got")
+    val a = spark.read.parquet(s"$tmp/out/violations")
+      .orderBy(cols.map(col): _*).drop("part").collect()
+    val b = spark.read.parquet(s"$tmp/out_fresh/violations")
+      .orderBy(cols.map(col): _*).drop("part").collect()
+    assert(a.length == b.length && a.sameElements(b))
+
+    // and the evolved snapshot is now fully recorded: nothing pending
+    val (p3, s3) = Runner.run(spark, s"$tmp/in", s"$tmp/out")
+    assert(p3 == 0 && s3 == 4)
+  }
+
+  test("violation-rate circuit breaker: a systematically-broken input " +
+       "aborts before validating every partition; a rerun resumes") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = Files.createTempDirectory("graft-breaker").toString
+    // every other doc carries a planted defect — far above any sane rate
+    SpanGen.docs(spark, 2000, 8,
+        defects = SpanGen.Defects(nullKind = true, rate = 2))
+      .withColumn("part",
+        pmod(xxhash64(col("doc_id")), lit(8L)).cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(s"$tmp/in/docs")
+    SpanGen.media(spark, 1000).write.mode(SaveMode.Overwrite)
+      .parquet(s"$tmp/in/media")
+
+    val ex = intercept[Runner.RunAborted] {
+      Runner.run(spark, s"$tmp/in", s"$tmp/out", maxViolRate = Some(0.01))
+    }
+    assert(ex.processed >= 1 && ex.processed < 8,
+      s"breaker should stop mid-run, processed=${ex.processed}")
+    assert(ex.nFailed.toDouble / ex.nChecked > 0.01)
+
+    // completed partitions kept their manifest rows: the (uncapped)
+    // rerun resumes instead of restarting
+    val (p, s) = Runner.run(spark, s"$tmp/in", s"$tmp/out")
+    assert(p == 8 - ex.processed && s == ex.processed,
+      s"resume after abort: processed=$p skipped=$s")
+  }
+
   test("v_shapes_all driver query: collect-all over tuple/strict-tuple/" +
        "hash/map-object/truthy — id=0 carries every defect in " +
        "depth-first seq order") {
