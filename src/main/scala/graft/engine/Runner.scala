@@ -168,11 +168,24 @@ object Runner {
     *
     * `maxViolRate` arms the circuit breaker: once the cumulative
     * distinct-failing-doc rate across completed partitions exceeds it,
-    * no further partitions start and [[RunAborted]] is thrown. */
+    * no further partitions start and [[RunAborted]] is thrown.
+    *
+    * Schema evolution (Iceberg read semantics over the emulated lake):
+    * inputs are read with `mergeSchema`, so a snapshot that ADDED a
+    * column reads old files as null and the non-strict contract ignores
+    * the extra — additive evolution validates without reconfiguration.
+    * The docs schema of every run is recorded at `outDir/_schema.json`;
+    * when the current snapshot's schema has BREAKING drift vs the last
+    * validated one (removed/retyped fields — see
+    * [[SchemaEvolution.Change.safe]]) the run throws
+    * [[SchemaEvolution.SchemaDriftError]] before any partition starts,
+    * naming the exact paths. `allowBreakingDrift` overrides the gate
+    * (the recorded schema then advances to the new shape). */
   def run(spark: SparkSession, inputDir: String, outDir: String,
           maxParts: Int = Int.MaxValue,
           format: String = "parquet",
-          maxViolRate: Option[Double] = None): (Int, Int) = {
+          maxViolRate: Option[Double] = None,
+          allowBreakingDrift: Boolean = false): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val snap = snapshotId(spark, inputDir)
     // contract catalog rides with the outputs (idempotent overwrite),
@@ -182,8 +195,34 @@ object Runner {
     val out = fs.create(regPath, true)
     try out.write(registry.toManifestJson.getBytes("UTF-8"))
     finally out.close()
-    val docs = spark.read.format(format).load(s"$inputDir/docs")
-    val media = spark.read.format(format).load(s"$inputDir/media").cache()
+    // mergeSchema: evolved snapshots whose newer files carry added
+    // columns read as the union schema (old files -> null), the
+    // add-column evolution Iceberg guarantees; parquet/orc honor the
+    // option, other sources ignore it harmlessly
+    val docs = spark.read.option("mergeSchema", "true")
+      .format(format).load(s"$inputDir/docs")
+    val media = spark.read.option("mergeSchema", "true")
+      .format(format).load(s"$inputDir/media").cache()
+    // schema-drift gate: compare against the last validated snapshot's
+    // recorded schema and fail fast on breaking drift (O(schema), runs
+    // before any data is touched)
+    val schemaPath = new Path(outDir, "_schema.json")
+    val curSchema = docs.drop("part").schema
+    if (fs.exists(schemaPath)) {
+      val in = fs.open(schemaPath)
+      val prevJson =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val prev = org.apache.spark.sql.types.DataType.fromJson(prevJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val changes = SchemaEvolution.diff(prev, curSchema)
+      val breaking = changes.filterNot(_.safe)
+      if (breaking.nonEmpty && !allowBreakingDrift)
+        throw SchemaEvolution.SchemaDriftError(breaking, changes)
+    }
+    val sOut = fs.create(schemaPath, true)
+    try sOut.write(curSchema.json.getBytes("UTF-8"))
+    finally sOut.close()
     val parts = docs.select("part").distinct().collect()
       .map(_.getInt(0)).sorted
     val partFps = partitionInputFps(spark, inputDir)

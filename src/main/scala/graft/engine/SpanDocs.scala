@@ -38,15 +38,20 @@ object SpanDocs {
     "offset" -> C.and(C.integer, C.pred("offset >= 0")(c => c >= 0)))
 
   /** strictly-increasing offsets across the span sequence: a single
-    * `aggregate` fold carrying (ok, prev_offset). */
+    * `aggregate` fold carrying (ok, prev_offset). The accumulator is
+    * pinned to LONG (and the field cast to match) so the fold's type is
+    * stable under schema evolution — an offset retyped by a snapshot
+    * rewrite must surface as the integer gate's violation rows, not as
+    * an AnalysisException from a struct-type mismatch inside this pred. */
   def monotoneOffsets(spans: Column): Column =
     aggregate(spans,
-      struct(lit(true).as("ok"), lit(-1).as("prev")),
+      struct(lit(true).as("ok"), lit(-1L).as("prev")),
       (acc, s) => struct(
         (acc.getField("ok") &&
-          coalesce(s.getField("offset") > acc.getField("prev"), lit(false)))
-          .as("ok"),
-        coalesce(s.getField("offset"), acc.getField("prev")).as("prev")),
+          coalesce(s.getField("offset").cast("long") > acc.getField("prev"),
+            lit(false))).as("ok"),
+        coalesce(s.getField("offset").cast("long"), acc.getField("prev"))
+          .as("prev")),
       acc => acc.getField("ok"))
 
   // silentAnd: refinement chain without `.and(i)` path frames

@@ -265,6 +265,121 @@ class EngineSpec extends SparkTestBase {
       s"resume after abort: processed=$p skipped=$s")
   }
 
+  test("schema evolution, additive: an added column reads null for old " +
+       "files, is ignored by the non-strict contract, and only the " +
+       "touched partition recomputes") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = Files.createTempDirectory("graft-evolve").toString
+    Runner.init(spark, s"$tmp/in", 2000, 4)
+    val (p0, _) = Runner.run(spark, s"$tmp/in", s"$tmp/out")
+    assert(p0 == 4)
+
+    // additive evolution: newer files in part=1 carry a `lang` column
+    val extra = spark.read.parquet(s"$tmp/in/docs")
+      .where(col("part") === 1).drop("part").limit(30)
+      .withColumn("lang", lit("en"))
+    extra.write.mode(SaveMode.Append).parquet(s"$tmp/in/docs/part=1")
+
+    // run succeeds (no drift error), recomputing only the touched part
+    val (p1, s1) = Runner.run(spark, s"$tmp/in", s"$tmp/out")
+    assert(p1 == 1 && s1 == 3, s"processed=$p1 skipped=$s1")
+
+    // merged read semantics: union schema, old files read null
+    val docs = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/in/docs")
+    assert(docs.columns.contains("lang"))
+    assert(docs.where(col("lang").isNull).count() > 0)
+
+    // the recorded schema advanced to the evolved shape
+    val rec = org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$tmp/out/_schema.json")), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(rec.fieldNames.contains("lang"))
+
+    // and the extra column produced no violations of its own: outputs
+    // equal a fresh run over the same evolved input
+    val cols = Seq("doc_id", "path", "contract_repr", "got")
+    val (pf, _) = Runner.run(spark, s"$tmp/in", s"$tmp/out_fresh")
+    assert(pf == 4)
+    val a = spark.read.parquet(s"$tmp/out/violations")
+      .orderBy(cols.map(col): _*).drop("part").collect()
+    val b = spark.read.parquet(s"$tmp/out_fresh/violations")
+      .orderBy(cols.map(col): _*).drop("part").collect()
+    assert(a.length == b.length && a.sameElements(b))
+  }
+
+  test("schema evolution, breaking: a retyped nested field fails fast " +
+       "with the exact path before any partition runs") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = Files.createTempDirectory("graft-drift").toString
+    Runner.init(spark, s"$tmp/in", 1000, 4)
+    Runner.run(spark, s"$tmp/in", s"$tmp/out")
+
+    // snapshot rewrite retypes spans.offset int -> string
+    val docs0 = spark.read.parquet(s"$tmp/in/docs")
+    docs0.withColumn("spans", transform(col("spans"), s => struct(
+        s.getField("kind").as("kind"), s.getField("text").as("text"),
+        s.getField("media_ref").as("media_ref"),
+        s.getField("offset").cast("string").as("offset"))))
+      .write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(s"$tmp/in2/docs")
+    spark.read.parquet(s"$tmp/in/media")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/in2/media")
+
+    val ex = intercept[SchemaEvolution.SchemaDriftError] {
+      Runner.run(spark, s"$tmp/in2", s"$tmp/out")
+    }
+    assert(ex.breaking.exists(c =>
+      c.path == "spans[].offset" &&
+        c.kind == SchemaEvolution.Retyped &&
+        c.prevType.contains("int") && c.curType.contains("string")),
+      s"got: ${ex.breaking}")
+    // fail-fast: no new partitions were validated against the retyped
+    // snapshot (the manifest still holds only the original 4 rows)
+    assert(Manifest.load(spark, s"$tmp/out").count() == 4)
+    // the override proceeds (schema-aware integer gate now flags every
+    // span offset) and advances the recorded schema
+    val (p, _) = Runner.run(spark, s"$tmp/in2", s"$tmp/out",
+      allowBreakingDrift = true)
+    assert(p == 4)
+    val rec = org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$tmp/out/_schema.json")), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val off = rec("spans").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("offset")
+    assert(off.dataType.sql.toLowerCase == "string")
+  }
+
+  test("schema-evolution diff: widenings are safe, order changes are " +
+       "not drift, map key/value retypes are caught") {
+    import org.apache.spark.sql.types._
+    def st(ddl: String) = StructType.fromDDL(ddl)
+    // numeric widening: safe retype
+    val w = SchemaEvolution.diff(st("a INT"), st("a BIGINT"))
+    assert(w.size == 1 && w.head.safe &&
+      w.head.kind == SchemaEvolution.Retyped)
+    // narrowing: breaking
+    assert(!SchemaEvolution.diff(st("a BIGINT"), st("a INT")).head.safe)
+    // field order is not drift
+    assert(SchemaEvolution.diff(
+      st("a INT, b STRING"), st("b STRING, a INT")).isEmpty)
+    // map value retype, nested under a struct
+    val m = SchemaEvolution.diff(
+      StructType(Seq(StructField("m",
+        MapType(StringType, IntegerType)))),
+      StructType(Seq(StructField("m",
+        MapType(StringType, StringType)))))
+    assert(m.size == 1 && m.head.path == "m{}" && !m.head.safe)
+    // removed nested field
+    val r = SchemaEvolution.diff(
+      st("s STRUCT<x: INT, y: INT>"), st("s STRUCT<x: INT>"))
+    assert(r.size == 1 && r.head.path == "s.y" &&
+      r.head.kind == SchemaEvolution.Removed && !r.head.safe)
+  }
+
   test("v_shapes_all driver query: collect-all over tuple/strict-tuple/" +
        "hash/map-object/truthy — id=0 carries every defect in " +
        "depth-first seq order") {
