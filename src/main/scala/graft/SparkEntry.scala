@@ -306,6 +306,44 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("id")),
 
+    // repetition metrics (duplicate word/bigram fractions — the
+    // duplicate-n-gram family of training-data quality filters)
+    "text_repetition" -> ((s, dir) =>
+      pipeline.TextAnalysis.repetition(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id")),
+
+    // deterministic stratified sampling by language (md5 draws, not
+    // rand(): task retries and the oracle replay the same membership)
+    "sample_stratified" -> ((s, dir) =>
+      pipeline.Sampling.stratified(t(s, dir, "documents"), "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), default = 0.05,
+          idCol = "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // deterministic k-subset per language (hash-rank window)
+    "sample_group_topk" -> ((s, dir) =>
+      pipeline.Sampling.groupTopK(t(s, dir, "documents"), "lang",
+          "doc_id", k = 5)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")),
+
+    // near-dup pairs → canonical components (alternating large-star /
+    // small-star, O(log n) shuffle rounds); the pair list is staged so
+    // the oracle replays reachability with a recursive CTE over the
+    // SAME edges
+    "dedup_components" -> ((s, dir) => {
+      pipeline.Dedup.minhashLshPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${genDir(dir)}/cc_pairs")
+      pipeline.Dedup.connectedComponents(
+          s.read.parquet(s"${genDir(dir)}/cc_pairs"))
+        .orderBy("id")
+    }),
+
     // multimodal: payload attach + batched REAL decode (ImageIO for
     // png/jpeg, AudioSystem for wav, ISO-BMFF box walk for mp4).
     // Payloads are staged; the oracle re-derives every decoded field
@@ -784,6 +822,66 @@ object SparkEntry {
         |   FROM (SELECT unnest(range(1, length(text) + 1)) AS i) u)
         |    AS fingerprint
         |FROM documents ORDER BY id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, string_split(text, ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT id, len(toks) AS n_words,
+        |    len(list_distinct(toks)) AS n_distinct_words,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE []::VARCHAR[] END AS bg
+        |  FROM b)
+        |SELECT id, n_words, n_distinct_words,
+        |  round(1.0 - n_distinct_words * 1.0 / greatest(n_words, 1), 4)
+        |    AS dup_word_frac,
+        |  len(bg) AS n_bigrams,
+        |  len(list_distinct(bg)) AS n_distinct_bigrams,
+        |  round(1.0 - len(list_distinct(bg)) * 1.0 / greatest(len(bg), 1),
+        |    4) AS dup_bigram_frac
+        |FROM g ORDER BY id""".stripMargin,
+
+    // thresholds generated from the SAME rateHex the engine filters
+    // with — parity by construction
+    "sample_stratified" -> {
+      import pipeline.Sampling.rateHex
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '${rateHex(0.5)}'
+         |    WHEN 'de' THEN '${rateHex(0.25)}'
+         |    WHEN 'zh' THEN '${rateHex(0.1)}'
+         |    ELSE '${rateHex(0.05)}' END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_group_topk" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'graft-topk'),
+        |      1, 8), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, sample_rank, doc_id FROM r
+        |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+
+    // reachability over the STAGED pair list (min reachable id per
+    // node = the component representative the star algorithm emits)
+    "dedup_components" ->
+      """WITH RECURSIVE sym AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM read_parquet('/tmp/graft_gen/sf0.01/cc_pairs/*.parquet')
+        |  UNION
+        |  SELECT id_b AS a, id_a AS b
+        |  FROM read_parquet('/tmp/graft_gen/sf0.01/cc_pairs/*.parquet')
+        |), reach(id, comp) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+        |)
+        |SELECT id, min(comp) AS component FROM reach
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     // ---- oracles over STAGED deterministic inputs (/tmp/graft_gen):
     // the query persisted its generated table / intermediate state as

@@ -243,6 +243,88 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair list — the step that
+    * turns pairwise similarity output (minhash/simhash/embedding pairs)
+    * into canonical document groups ("keep one doc per component"), via
+    * the alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC'14 — a
+    * public algorithm designed exactly for this shape).
+    *
+    * Scale properties (why NOT label propagation): plain min-label
+    * propagation needs O(diameter) rounds — a crawler mirror chain
+    * a→b→c→… takes as many shuffles as the chain is long. Alternating
+    * star contraction converges in O(log n) rounds on any graph, each
+    * round two hash-shuffles (groupBy u + join back), with map-side
+    * partial min-aggregation; no step ever materializes a component in
+    * one task, so a 10⁹-member component (the empty-document cluster
+    * every web corpus has) never serializes through one reducer.
+    *
+    * Each round is `localCheckpoint`ed: the loop otherwise stacks
+    * O(log n) joins of lineage, and Catalyst re-analysis goes quadratic
+    * (on a cluster, point `spark.sparkContext.setCheckpointDir` at
+    * durable storage and swap in `checkpoint()` for executor-loss
+    * recovery; local mode has no executors to lose).
+    *
+    * Convergence test: (count, XOR of xxhash64(u,v)) of the edge set —
+    * an order-independent fingerprint (edges are distinct, so XOR
+    * cancellation needs a hash collision); a collision (2⁻⁶⁴) could
+    * only stop the loop one round early, never corrupt edges. XOR, not
+    * sum: ANSI mode makes a wrapping Σ of 10⁹ hashes throw.
+    *
+    * Input: two id columns (any orderable type). Output: (id, component)
+    * for every id appearing in a pair, component = least id reachable —
+    * the canonical representative. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIter: Int = 30): DataFrame = {
+    val base = pairs
+      .select(col(idA).as("u"), col(idB).as("v"))
+      .where(col("u") =!= col("v"))
+    // large-star: every neighbor LARGER than u links to the min of
+    // u's neighborhood (incl. u) — long chains halve in height
+    def largeStar(d: DataFrame): DataFrame = {
+      val sym = d.union(d.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // small-star: orient edges high→low; every SMALLER-or-equal
+    // neighbor (and u itself) links to the neighborhood min
+    def smallStar(d: DataFrame): DataFrame = {
+      val or = d.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = or.groupBy("u").agg(min("v").as("mv"))
+      or.join(m, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("mv").as("b")),
+          struct(col("u").as("a"), col("mv").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def sig(d: DataFrame): (Long, Long) = {
+      val r = d.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = base.distinct().localCheckpoint(true)
+    var prev = sig(e)
+    var i = 0
+    var done = prev._1 == 0L
+    while (!done && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val s = sig(next)
+      done = s == prev
+      prev = s; e = next; i += 1
+    }
+    // fixpoint edges are star edges (child → component-min root)
+    val roots = e.select(col("v").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(roots).distinct()
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band join (complete for Hamming
     * distance ≤ 3 by pigeonhole: 3 flipped bits touch at most 3 of the
     * 4 bands, so one band always collides) + exact bit_count

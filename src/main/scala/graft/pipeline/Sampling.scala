@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing: per-group rate
+  * sampling (the "data mixture" step — e.g. keep 50% of English, 10%
+  * of a boilerplate-heavy crawl) and per-group fixed-size subsets.
+  *
+  * Decisions are pure functions of (id, salt) via md5, NOT `rand()`:
+  * a resumed/retried 10¹²-row job must make the SAME keep/drop choice
+  * per row on re-execution (Spark retries tasks; rand() would ship
+  * different rows per attempt and break exactly-once sinks), and any
+  * other engine (the DuckDB oracle here) can replay the decision from
+  * the same bytes.
+  *
+  * Scale shape: [[stratified]] is a stateless per-row filter — no
+  * shuffle, pushes below wide transforms, linear scan. [[groupTopK]]
+  * shuffles once on the group key with a rank window; for a hot group
+  * at extreme scale, pre-thin with [[stratified]] at a generous rate
+  * (E[survivors] ≫ k) before ranking so no single reducer sees the
+  * whole group.
+  */
+object Sampling {
+
+  /** first 8 hex chars of md5(key·salt) — a uniform 32-bit draw
+    * rendered as fixed-width lowercase hex, so LEXICOGRAPHIC order
+    * equals numeric order and any md5-bearing engine reproduces it. */
+  def hashFrac(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
+
+  /** a rate in [0,1] as the 8-hex threshold its draws fall under. */
+  def rateHex(rate: Double): String = {
+    val n = math.min(math.max((rate * 4294967296.0).toLong, 0L),
+      4294967295L)
+    f"$n%08x"
+  }
+
+  /** per-group deterministic rate sampling: keep a row iff its hash
+    * draw falls under its group's rate (groups absent from `rates` use
+    * `default`). Expected survivor count per group = rate × group size;
+    * membership is exact-replayable, never approximate-per-run. */
+  def stratified(df: DataFrame, groupCol: String,
+                 rates: Map[String, Double], default: Double,
+                 idCol: String, salt: String = "graft"): DataFrame = {
+    // ListMap-free fold is fine: when-chains evaluate first-match, and
+    // group names are distinct keys so order cannot change the result
+    val thr = rates.foldLeft(lit(rateHex(default))) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(rateHex(r))).otherwise(acc)
+    }
+    df.where(hashFrac(col(idCol), salt) < thr)
+  }
+
+  /** deterministic k-subset per group: rank rows by hash draw (id as
+    * total tie-break) within each group, keep the first k — a uniform
+    * without-replacement sample whose membership is stable across
+    * runs, engines, and partitionings. */
+  def groupTopK(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                salt: String = "graft-topk"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashFrac(col(idCol), salt), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+}

@@ -113,6 +113,43 @@ object TextAnalysis {
       regexp_count(col(textCol),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpeish_tokens"))
 
+  /** repetition metrics — the duplicate-n-gram family of quality
+    * filters every large-scale training corpus applies (high duplicate
+    * fractions flag boilerplate / machine-generated text): word count,
+    * distinct-word count, duplicate-word fraction, and the bigram
+    * versions. Counts exact, fractions rounded(4) for cross-engine
+    * stability; pure SQL (split + array HOFs) so DuckDB replays the
+    * same definition verbatim — no staging needed.
+    *
+    * The token array is bound once per doc in its own projection (HOF
+    * lambdas have no common-subexpression elimination — see
+    * [[Dedup.tokenNgramsFromTokens]]); one narrow pass, no shuffle. */
+  def repetition(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val bound = df.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("toks"))
+    val bigrams = when(size(col("toks")) < 2,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2))))
+    bound
+      .select(col("id"), col("toks"), bigrams.as("bg"))
+      .select(col("id"),
+        size(col("toks")).as("n_words"),
+        size(array_distinct(col("toks"))).as("n_distinct_words"),
+        size(col("bg")).as("n_bigrams"),
+        size(array_distinct(col("bg"))).as("n_distinct_bigrams"))
+      .select(col("id"), col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) - col("n_distinct_words") /
+          greatest(col("n_words"), lit(1)).cast("double"), 4)
+          .as("dup_word_frac"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        round(lit(1.0) - col("n_distinct_bigrams") /
+          greatest(col("n_bigrams"), lit(1)).cast("double"), 4)
+          .as("dup_bigram_frac"))
+  }
+
   /** order-weighted positional fingerprint: Σᵢ ascii(text[i])·((i mod 97)+1)
     * — integer-exact (≤ ~7M for 553-char docs: no overflow, no float),
     * order-sensitive (a rolling-hash-style document signature that any
