@@ -329,6 +329,34 @@ object SparkEntry {
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")),
 
+    // decontamination: training docs sharing word 8-grams with the
+    // (deterministic) eval subset — eval n-grams broadcast, training
+    // side map-only
+    "decontam_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ev = pipeline.Sampling.groupTopK(docs, "lang", "doc_id", 5)
+        .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+      val train = docs.join(
+        broadcast(ev.select(col("eval_id").as("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      pipeline.Decontaminate.overlap(train, ev, "doc_id", "text",
+          "eval_id", "eval_text", n = 8)
+        .orderBy("id")
+    }),
+
+    // quality-filter funnel: per-rule drop accounting in ONE scan
+    "filter_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      pipeline.QualityFilter.report(d, Seq(
+        "min_words" -> (size(toks) >= 25),
+        "max_words" -> (size(toks) <= 120),
+        "stopword_en" -> (pipeline.TextAnalysis.stopCount(
+          split(lower(col("text")), " "), "en") >= 1),
+        "word_diversity" -> (size(array_distinct(toks)).cast("double") /
+          greatest(size(toks), lit(1)) >= 0.35)))
+    }),
+
     // near-dup pairs → canonical components (alternating large-star /
     // small-star, O(log n) shuffle rounds); the pair list is staged so
     // the oracle replays reachability with a recursive CTE over the
@@ -865,6 +893,65 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+
+    // the eval subset is the same deterministic hash-rank sample as
+    // sample_group_topk; 8-grams via the positional-slice idiom the
+    // minhash oracle uses
+    "decontam_overlap" -> {
+      val g8 = (0 to 7).map(j => s"ts[u.i+$j]").mkString(" || ' ' || ")
+      s"""WITH rk AS (
+         |  SELECT doc_id, text, row_number() OVER (PARTITION BY lang
+         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) ||
+         |      'graft-topk'), 1, 8), doc_id) AS rk
+         |  FROM documents),
+         |evd AS (SELECT doc_id AS eval_id, text FROM rk WHERE rk <= 5),
+         |eg AS (
+         |  SELECT DISTINCT eval_id, $g8 AS g
+         |  FROM (SELECT eval_id, string_split(text, ' ') AS ts FROM evd)
+         |    x, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) u),
+         |tg AS (
+         |  SELECT DISTINCT d.doc_id AS id, $g8 AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+         |        FROM documents
+         |        WHERE doc_id NOT IN (SELECT eval_id FROM evd)) d,
+         |    LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) u)
+         |SELECT id, count(DISTINCT g) AS n_shared_ngrams,
+         |  count(DISTINCT eval_id) AS n_eval_docs
+         |FROM tg JOIN eg USING (g)
+         |GROUP BY id HAVING count(DISTINCT g) >= 1
+         |ORDER BY id""".stripMargin
+    },
+
+    "filter_report" -> {
+      val set = pipeline.TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT len(string_split(text, ' ')) AS nw,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ($set))) AS nstop,
+         |    len(list_distinct(string_split(text, ' '))) AS ndw
+         |  FROM documents),
+         |f AS (
+         |  SELECT nw >= 25 AS k0, nw <= 120 AS k1, nstop >= 1 AS k2,
+         |    CAST(ndw AS DOUBLE) / greatest(nw, 1) >= 0.35 AS k3
+         |  FROM m)
+         |SELECT 0 AS rule_idx, 'min_words' AS rule,
+         |  count(CASE WHEN NOT k0 THEN 1 END) AS n_fail,
+         |  count(CASE WHEN NOT k0 THEN 1 END) AS n_fail_first FROM f
+         |UNION ALL SELECT 1, 'max_words',
+         |  count(CASE WHEN NOT k1 THEN 1 END),
+         |  count(CASE WHEN k0 AND NOT k1 THEN 1 END) FROM f
+         |UNION ALL SELECT 2, 'stopword_en',
+         |  count(CASE WHEN NOT k2 THEN 1 END),
+         |  count(CASE WHEN k0 AND k1 AND NOT k2 THEN 1 END) FROM f
+         |UNION ALL SELECT 3, 'word_diversity',
+         |  count(CASE WHEN NOT k3 THEN 1 END),
+         |  count(CASE WHEN k0 AND k1 AND k2 AND NOT k3 THEN 1 END) FROM f
+         |UNION ALL SELECT 4, '__kept__',
+         |  count(CASE WHEN k0 AND k1 AND k2 AND k3 THEN 1 END),
+         |  count(CASE WHEN k0 AND k1 AND k2 AND k3 THEN 1 END) FROM f
+         |ORDER BY rule_idx""".stripMargin
+    },
 
     // reachability over the STAGED pair list (min reachable id per
     // node = the component representative the star algorithm emits)

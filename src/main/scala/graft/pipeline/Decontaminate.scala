@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-set decontamination: flag training documents that share
+  * word n-grams with an evaluation corpus (the published n-gram
+  * overlap procedure used for LM training sets — Brown et al. 2020,
+  * appendix C — with the n-gram length as a knob).
+  *
+  * Scale shape: eval corpora are tiny (KBs–MBs) next to a 100 TB
+  * training table, so the eval n-gram set is deduped and BROADCAST —
+  * the training side is scanned map-only: shingle, hash-probe the
+  * broadcast set, aggregate per doc. The training table is never
+  * shuffled by n-gram (an n-gram-keyed exchange of the big side would
+  * dwarf every other cost; hot n-grams would skew it).
+  */
+object Decontaminate {
+
+  /** per-contaminated-training-doc overlap report: which training ids
+    * share ≥ `minShared` distinct n-grams with ANY eval doc, with the
+    * count of distinct shared n-grams and of eval docs hit. */
+  def overlap(train: DataFrame, evalDf: DataFrame,
+              idCol: String, textCol: String,
+              evalIdCol: String, evalTextCol: String,
+              n: Int = 8, minShared: Int = 1): DataFrame = {
+    val tg = Dedup.withNgrams(train, idCol, textCol, n)
+      .select(col("id"), explode(col("grams")).as("g"))
+    val eg = Dedup.withNgrams(evalDf, evalIdCol, evalTextCol, n)
+      .select(col("id").as("eval_id"), explode(col("grams")).as("g"))
+      .distinct()
+    tg.join(broadcast(eg), "g")
+      .groupBy("id")
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .where(col("n_shared_ngrams") >= minShared)
+  }
+
+  /** the clean training set: drop every doc [[overlap]] flags. Uses a
+    * broadcast anti-join on the flagged id set (small by construction —
+    * contamination is rare; if it weren't, the corpus has bigger
+    * problems than the join strategy). */
+  def clean(train: DataFrame, evalDf: DataFrame,
+            idCol: String, textCol: String,
+            evalIdCol: String, evalTextCol: String,
+            n: Int = 8, minShared: Int = 1): DataFrame = {
+    val flagged = overlap(train, evalDf, idCol, textCol,
+      evalIdCol, evalTextCol, n, minShared)
+      .select(col("id").as("_contaminated_id"))
+    train.join(broadcast(flagged),
+      col(idCol) === col("_contaminated_id"), "left_anti")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** Decontamination overlap/clean and the quality-filter funnel. */
+class DecontamFilterSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("decontaminate: exact copy flagged, disjoint doc not, clean drops") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),   // exact copy of eval 100
+      (2L, "k l m n o p q r s t"),   // disjoint
+      (3L, "z a b c d e f g h i j")  // contains eval 100 as suffix
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, "a b c d e f g h i j"))
+      .toDF("eval_id", "eval_text")
+    val flagged = Decontaminate.overlap(train, ev, "doc_id", "text",
+      "eval_id", "eval_text", n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 3L))
+    // doc 1: 10 tokens -> 3 distinct 8-grams, all shared
+    assert(flagged(1L) == 3L)
+    val kept = Decontaminate.clean(train, ev, "doc_id", "text",
+      "eval_id", "eval_text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("decontaminate: minShared raises the bar") {
+    val train = Seq((1L, "a b c d e f g h z z")).toDF("doc_id", "text")
+    val ev = Seq((9L, "a b c d e f g h")).toDF("eval_id", "eval_text")
+    // exactly one shared 8-gram
+    assert(Decontaminate.overlap(train, ev, "doc_id", "text",
+      "eval_id", "eval_text", n = 8, minShared = 1).count() == 1)
+    assert(Decontaminate.overlap(train, ev, "doc_id", "text",
+      "eval_id", "eval_text", n = 8, minShared = 2).count() == 0)
+  }
+
+  test("filter funnel: marginals, first-fail partition, kept row") {
+    val df = Seq(
+      (1L, 10),  // fails r0 only
+      (2L, 10),  // fails r0 only
+      (3L, 95),  // fails r1 (and passes r0)
+      (4L, 50),  // passes all
+      (5L, 5)    // fails r0 AND r1 -> first-fail attributes to r0
+    ).toDF("id", "v")
+    val rules = Seq(
+      "v_min" -> (col("v") >= 20),
+      "v_not_mid" -> !(col("v") === 95 || col("v") === 5))
+    val rep = QualityFilter.report(df, rules).collect()
+    val byRule = rep.map(r => r.getString(1) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    assert(byRule("v_min") == ((3L, 3L)))        // 1,2,5 fail
+    assert(byRule("v_not_mid") == ((2L, 1L)))    // 3,5 fail; first=3 only
+    assert(byRule("__kept__") == ((1L, 1L)))     // only 4 survives
+    // first-fail counts + kept partition the input
+    assert(rep.map(_.getLong(3)).sum == df.count())
+    val kept = QualityFilter(df, rules).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(4L))
+  }
+
+  test("filter funnel: single scan (one aggregate in the plan)") {
+    val df = Seq((1L, 10), (2L, 30)).toDF("id", "v")
+    val rep = QualityFilter.report(df,
+      Seq("a" -> (col("v") > 0), "b" -> (col("v") < 20),
+        "c" -> (col("v") =!= 10)))
+    val plan = rep.queryExecution.optimizedPlan.toString
+    // the funnel must not expand into one aggregate per rule
+    val nAggs = "Aggregate".r.findAllIn(plan).size
+    assert(nAggs == 1, s"expected 1 Aggregate, got $nAggs in:\n$plan")
+  }
+}
