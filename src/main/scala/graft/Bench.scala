@@ -63,7 +63,15 @@ object Bench {
     // an external runner's timeout can't kill the artifact mid-write.
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900")
       .toDouble
-    val tStart = System.nanoTime()
+    // the budget clock starts AFTER one-time input generation (armed
+    // below): on a fresh /tmp the 4M+12M-doc table writes cost ~4-6
+    // minutes and a cold-started budget leaves room for only the
+    // mandatory-minimum scaling pairs — a loaded first pair then
+    // becomes the headline with no retry (observed: one session
+    // recorded 0.759 with exactly 2 pairs). Generation is setup, not
+    // measurement; subsequent sessions find the tables and arm
+    // immediately.
+    var tStart = System.nanoTime()
     def withinBudget: Boolean =
       (System.nanoTime() - tStart) / 1e9 < budgetS
 
@@ -79,6 +87,25 @@ object Bench {
           danglingRef = true, dupDocId = true, rate = 10000))
         .write.mode("overwrite").parquet(docsPath)
     }
+    // pre-generate the scaling + skew inputs too, THEN arm the budget
+    // clock: generation is one-time setup, not measurement
+    val nScale = nDocs * 3
+    val scalePath = s"$benchDir/docs_$nScale"
+    if (!new java.io.File(scalePath).exists()) {
+      SpanGen.docs(spark, nScale, cpus * 4,
+        defects = SpanGen.Defects(nullKind = true, badKind = true,
+          danglingRef = true, dupDocId = true, rate = 10000))
+        .write.mode("overwrite").parquet(scalePath)
+    }
+    val skewPath = s"$benchDir/docs_skew_$nDocs"
+    if (!new java.io.File(skewPath).exists()) {
+      SpanGen.docs(spark, nDocs, cpus * 4,
+        defects = SpanGen.Defects(nullKind = true, badKind = true,
+          danglingRef = true, dupDocId = true, rate = 10000,
+          hotKeyEvery = 4))
+        .write.mode("overwrite").parquet(skewPath)
+    }
+    tStart = System.nanoTime()
     // Scaling methodology, forced by two sandbox realities:
     //  (a) one shared local disk → an uncached scan is storage-bound and
     //      identical at any core count, while a real N-node cluster
@@ -173,14 +200,6 @@ object Bench {
     // scaling/skew phases so resampleFlagship can re-time the identical
     // job at later session points; both it and the 12M scaled cache fit
     // the 28 GB storage pool together.
-    val nScale = nDocs * 3
-    val scalePath = s"$benchDir/docs_$nScale"
-    if (!new java.io.File(scalePath).exists()) {
-      SpanGen.docs(spark, nScale, cpus * 4,
-        defects = SpanGen.Defects(nullKind = true, badKind = true,
-          danglingRef = true, dupDocId = true, rate = 10000))
-        .write.mode("overwrite").parquet(scalePath)
-    }
     val scaled = spark.read.parquet(scalePath).cache()
     scaled.count()
     val levels = Seq(2, 8, 32)
@@ -257,14 +276,6 @@ object Bench {
     // uniqueness path collapses the hot key in map-side partials;
     // round 2's window shape serialized those rows into a single
     // partition, so this timing is the no-straggler evidence.
-    val skewPath = s"$benchDir/docs_skew_$nDocs"
-    if (!new java.io.File(skewPath).exists()) {
-      SpanGen.docs(spark, nDocs, cpus * 4,
-        defects = SpanGen.Defects(nullKind = true, badKind = true,
-          danglingRef = true, dupDocId = true, rate = 10000,
-          hotKeyEvery = 4))
-        .write.mode("overwrite").parquet(skewPath)
-    }
     spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
     val skewCached = spark.read.parquet(skewPath).cache()
     skewCached.count()

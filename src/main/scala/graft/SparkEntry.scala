@@ -329,6 +329,23 @@ object SparkEntry {
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")),
 
+    // components → canonical keep list (best n_chars, least-id ties);
+    // re-stages the same deterministic pair list so the query is
+    // self-contained regardless of map iteration order
+    "dedup_canonical" -> ((s, dir) => {
+      pipeline.Dedup.minhashLshPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${genDir(dir)}/cc_pairs")
+      val comps = pipeline.Dedup.connectedComponents(
+        s.read.parquet(s"${genDir(dir)}/cc_pairs"))
+      pipeline.Dedup.canonicalPerComponent(comps,
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars")
+        .orderBy("component")
+    }),
+
     // decontamination: training docs sharing word 8-grams with the
     // (deterministic) eval subset — eval n-grams broadcast, training
     // side map-only
@@ -893,6 +910,31 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+
+    "dedup_canonical" ->
+      """WITH RECURSIVE sym AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM read_parquet('/tmp/graft_gen/sf0.01/cc_pairs/*.parquet')
+        |  UNION
+        |  SELECT id_b AS a, id_a AS b
+        |  FROM read_parquet('/tmp/graft_gen/sf0.01/cc_pairs/*.parquet')
+        |), reach(id, comp) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+        |), cmp AS (
+        |  SELECT id, min(comp) AS component FROM reach GROUP BY id
+        |), sc AS (
+        |  SELECT c.id, c.component, d.n_chars
+        |  FROM cmp c JOIN documents d ON d.doc_id = c.id
+        |), mx AS (
+        |  SELECT component, max(n_chars) AS best, count(*) AS n_members
+        |  FROM sc GROUP BY component)
+        |SELECT m.component, m.n_members, min(s.id) AS keep_id
+        |FROM sc s JOIN mx m
+        |  ON s.component = m.component AND s.n_chars = m.best
+        |GROUP BY m.component, m.n_members
+        |ORDER BY m.component""".stripMargin,
 
     // the eval subset is the same deterministic hash-rank sample as
     // sample_group_topk; 8-grams via the positional-slice idiom the

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a text column: split on single
+  * space, join each n-token window with a space, keep first-occurrence
+  * order — exactly `array_distinct(transform(sequence(0, size(toks)-n),
+  * i -> concat_ws(' ', toks[i+1..i+n])))` over `split(text, ' ')`, the
+  * shape every dedup/decontamination operator here shingles with.
+  *
+  * Why a custom Catalyst Expression: the composable HOF form above is
+  * interpreted (CodegenFallback + per-element boxing), and at n=8 its
+  * expression tree evaluates 8 `element_at` + a varargs `concat_ws`
+  * per window — measured 25 s for 5 000 docs (~236 k shingles) on one
+  * core. This expression does the window walk in one compiled loop on
+  * binary `UTF8String`s (no String materialization, no boxing):
+  * 0.6 s for the same input, and the surrounding stage keeps
+  * whole-stage codegen (the generated code calls one static helper).
+  *
+  * Split semantics match Spark's `split(text, ' ')` exactly
+  * (UTF8String regex split, limit -1 — trailing empty tokens kept) so
+  * swapping this in changes no oracle output. Fewer than n tokens ⇒
+  * empty array; null text ⇒ null.
+  */
+case class NgramShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle length must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"ngram_shingles requires string, got ${child.dataType.sql}")
+
+  override def nullSafeEval(t: Any): Any =
+    NgramShingles.compute(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.NgramShingles.compute($t, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramShingles = copy(child = newChild)
+}
+
+object NgramShingles {
+  import org.apache.spark.sql.GraftColumnBridge._
+
+  private val SpaceSep = UTF8String.fromString(" ")
+
+  /** static so generated code can call it: one compiled walk per row. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    // same split as Spark SQL's split(text, ' '): regex, limit -1
+    val toks = text.split(SpaceSep, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](
+      math.max(8, toks.length * 2))
+    var i = 0
+    val window = new Array[UTF8String](2 * n - 1)
+    var j = 1
+    while (j < 2 * n - 1) { window(j) = SpaceSep; j += 2 }
+    while (i + n <= toks.length) {
+      j = 0
+      while (j < n) { window(2 * j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concat(window: _*))
+      i += 1
+    }
+    new GenericArrayData(
+      seen.toArray(new Array[UTF8String](seen.size))
+        .asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  /** Column API: distinct space-joined word n-grams of `text`. */
+  def ngrams(text: Column, n: Int): Column =
+    column(NgramShingles(expression(text), n))
+}

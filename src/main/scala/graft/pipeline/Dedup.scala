@@ -29,14 +29,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("first_id"))
       .where(col("n_dups") > 1)
 
-  /** distinct word n-grams from a PRE-SPLIT token-array column.
-    *
-    * Callers must bind the token array to its own column first (see
-    * [[withNgrams]]): HOF lambdas are interpreted with NO common-
-    * subexpression elimination, so inlining `split(text)` here would
-    * re-split the text for every element_at reference (~3n times per
-    * doc — measured 10x slowdown). A multi-referenced non-cheap alias
-    * survives CollapseProject, keeping the split evaluated once. */
+  /** distinct word n-grams from a PRE-SPLIT token-array column — the
+    * composable HOF form, retained as the independent semantics oracle
+    * for [[graft.functions.NgramShingles]] (NgramSpec proves them
+    * array-equal). HOF lambdas are interpreted with NO common-
+    * subexpression elimination, so callers must bind the token array
+    * to its own column first (inlining `split(text)` would re-split
+    * per element_at — measured 10x slowdown), and even bound it costs
+    * ~40x the compiled expression at n=8. */
   def tokenNgramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
@@ -44,11 +44,13 @@ object Dedup {
         i => concat_ws(" ",
           (1 to n).map(j => element_at(toks, i + j)): _*))))
 
-  /** projects (idCol as id, grams) with the tokenization bound once. */
+  /** projects (idCol as id, grams) via the compiled
+    * [[graft.functions.NgramShingles]] expression (25 s → 0.6 s per
+    * 5k docs at n=8 vs the interpreted HOF; byte-identical output). */
   def withNgrams(df: DataFrame, idCol: String, textCol: String,
                  n: Int): DataFrame =
-    df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
-      .select(col("id"), tokenNgramsFromTokens(col("toks"), n).as("grams"))
+    df.select(col(idCol).as("id"),
+      graft.functions.NgramShingles.ngrams(col(textCol), n).as("grams"))
 
   /** exact n-gram Jaccard similarity join: all pairs with J >= threshold.
     *
@@ -323,6 +325,30 @@ object Dedup {
       .select(col("id"), col("id").as("component"))
     e.select(col("u").as("id"), col("v").as("component"))
       .union(roots).distinct()
+  }
+
+  /** One-doc-per-component keep list — the selection step after
+    * [[connectedComponents]]: for every multi-doc component, keep the
+    * member with the best score (ties → least id). Output
+    * (component, n_members, keep_id).
+    *
+    * Shape chosen for the giant-component case: two aggregations on
+    * `component` (max score + member count, then min id among the
+    * best), BOTH with map-side partial combine — a rank window would
+    * serialize a 10⁹-member boilerplate cluster through one task;
+    * partial aggregation collapses it per input partition before any
+    * exchange. */
+  def canonicalPerComponent(components: DataFrame, scores: DataFrame,
+                            idCol: String, scoreCol: String): DataFrame = {
+    val j = components.join(
+      scores.select(col(idCol).as("id"), col(scoreCol).as("_score")),
+      "id")
+    val mx = j.groupBy("component").agg(max("_score").as("_best"),
+      count(lit(1)).as("n_members"))
+    j.join(mx, "component").where(col("_score") === col("_best"))
+      .groupBy("component", "n_members")
+      .agg(min("id").as("keep_id"))
+      .select("component", "n_members", "keep_id")
   }
 
   /** SimHash near-dup pairs: 4×16-bit band join (complete for Hamming

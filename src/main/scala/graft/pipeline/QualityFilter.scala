@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object QualityFilter {
 
+  /** SQL three-valued logic would let a NULL-valued predicate drop a
+    * row in [[apply]] yet count it as passing in [[report]]; pin both
+    * to the same two-valued read: NULL keep = fail. */
+  private def keep2v(c: Column): Column = coalesce(c, lit(false))
+
   /** the kept rows: one conjunctive predicate, fully pushdown-eligible
     * (plain boolean Columns — Catalyst splits and pushes conjuncts). */
   def apply(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
-    df.where(rules.map(_._2).reduce(_ && _))
+    df.where(rules.map(r => keep2v(r._2)).reduce(_ && _))
 
   /** one-scan funnel report: one row per rule (declaration order,
     * `rule_idx` carries it) with independent and first-fail drop
@@ -28,13 +33,14 @@ object QualityFilter {
     * Single aggregation over conditional counts — the scan cost is one
     * pass whatever the rule count. */
   def report(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val aggs = rules.zipWithIndex.flatMap { case ((name, keep), i) =>
-      val firstFail = rules.take(i).map(_._2).foldLeft(!keep) {
+    val ks = rules.map(r => keep2v(r._2))
+    val aggs = ks.zipWithIndex.flatMap { case (keep, i) =>
+      val firstFail = ks.take(i).foldLeft(!keep) {
         (acc, prevKeep) => acc && prevKeep
       }
       Seq(count(when(!keep, 1)).as(s"f$i"),
         count(when(firstFail, 1)).as(s"ff$i"))
-    } :+ count(when(rules.map(_._2).reduce(_ && _), 1)).as("kept")
+    } :+ count(when(ks.reduce(_ && _), 1)).as("kept")
     val row = df.agg(aggs.head, aggs.tail: _*)
     // unpivot by exploding ONE struct array over the single agg row —
     // a per-rule select+union would re-run the aggregation per branch

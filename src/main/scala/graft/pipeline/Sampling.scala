@@ -30,11 +30,15 @@ object Sampling {
   def hashFrac(key: Column, salt: String): Column =
     substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
 
-  /** a rate in [0,1] as the 8-hex threshold its draws fall under. */
+  /** a rate in [0,1] as the 8-hex threshold its draws fall under.
+    * rate ≥ 1.0 saturates to "g" — lexicographically above every hex
+    * draw — so keep-everything really keeps the ~1-in-4B rows whose
+    * draw is exactly "ffffffff" (a strict `<` against "ffffffff"
+    * would drop ~250 rows at 10¹²). */
   def rateHex(rate: Double): String = {
     val n = math.min(math.max((rate * 4294967296.0).toLong, 0L),
-      4294967295L)
-    f"$n%08x"
+      4294967296L)
+    if (n >= 4294967296L) "g" else f"$n%08x"
   }
 
   /** per-group deterministic rate sampling: keep a row iff its hash

@@ -62,6 +62,20 @@ class DecontamFilterSpec extends SparkTestBase {
     assert(kept == Set(4L))
   }
 
+  test("filter funnel: NULL-valued predicate is a fail in both views") {
+    val df = Seq((1L, Some(10)), (2L, None), (3L, Some(50)))
+      .toDF("id", "v")
+    val rules = Seq("v_min" -> (col("v") >= 20)) // NULL for id=2
+    val kept = QualityFilter(df, rules).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    val rep = QualityFilter.report(df, rules).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // id=1 fails outright, id=2's NULL counts as fail — apply ≡ report
+    assert(rep("v_min") == 2L)
+    assert(rep("__kept__") == 1L)
+  }
+
   test("filter funnel: single scan (one aggregate in the plan)") {
     val df = Seq((1L, 10), (2L, 30)).toDF("id", "v")
     val rep = QualityFilter.report(df,

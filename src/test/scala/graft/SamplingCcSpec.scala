@@ -75,6 +75,19 @@ class SamplingCcSpec extends SparkTestBase {
     assert(m.keySet == Set(1L, 20L, 30L, 40L, 50L))
   }
 
+  test("canonicalPerComponent: best score wins, least-id tie-break") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val scores = Seq((1L, 5), (2L, 9), (3L, 9), (10L, 4), (11L, 4))
+      .toDF("doc_id", "score")
+    val r = Dedup.canonicalPerComponent(comps, scores, "doc_id", "score")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    // comp 1 = {1,2,3}: best score 9 held by {2,3} -> keep 2
+    // comp 10 = {10,11}: tie at 4 -> keep 10
+    assert(r == Set((1L, 3L, 2L), (10L, 2L, 10L)))
+  }
+
   test("repetition: hand-computed duplicate fractions") {
     val df = Seq(
       (1L, "a b a b"),      // words: 4 total / 2 distinct; bigrams:
@@ -131,6 +144,19 @@ class SamplingCcSpec extends SparkTestBase {
     val b = Sampling.stratified(docs, "lang", Map.empty, 0.5, "doc_id",
       salt = "s2").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a != b, "different salts should draw different subsets")
+  }
+
+  test("rateHex: saturates above hex space at 1.0, monotone, bounded") {
+    assert(Sampling.rateHex(1.0) == "g")
+    assert(Sampling.rateHex(1.5) == "g")
+    assert(Sampling.rateHex(0.0) == "00000000")
+    assert(Sampling.rateHex(-0.5) == "00000000")
+    assert(Sampling.rateHex(0.5) == "80000000")
+    // "g" > every possible draw, so even a row drawing "ffffffff"
+    // survives rate 1.0 (strict < against "ffffffff" would drop it)
+    assert("ffffffff" < Sampling.rateHex(1.0))
+    val hexes = Seq(0.1, 0.25, 0.5, 0.75, 0.99).map(Sampling.rateHex)
+    assert(hexes == hexes.sorted)
   }
 
   test("groupTopK: exactly k per group (or group size), stable") {
