@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries persist intermediates (gram projections, staged reads)
+      // whose lifecycle they cannot own (the cache backs their lazy
+      // plan); once the write has materialized the result the blocks
+      // are dead weight — drop them so 41 queries don't accumulate
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -86,6 +86,34 @@ object StreamingValidate {
           col(fkCol).cast("string")).as("message"))
   }
 
+  /** streaming decontamination: flag arriving docs that share any word
+    * n-gram with a STATIC eval corpus. Eval corpora are tiny, so the
+    * deduped eval gram set is collected once at stream construction
+    * and BROADCAST; each arriving doc computes its shingles with the
+    * compiled [[graft.functions.NgramShingles]] expression and probes
+    * the broadcast set in a typed filter. Stateless (no streaming
+    * state, no watermark needed), stream side never shuffles,
+    * append-mode safe — the streaming sibling of
+    * [[graft.pipeline.Decontaminate.overlap]]. The per-row
+    * deserialization at the typed filter is bounded by micro-batch
+    * volume; a stream never amortizes a gram-keyed join the way the
+    * batch path does, so set-probe is the right shape here. */
+  def contaminated(stream: DataFrame, evalDf: DataFrame,
+                   textCol: String, evalIdCol: String,
+                   evalTextCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = graft.pipeline.Dedup
+      .withNgrams(evalDf, evalIdCol, evalTextCol, n)
+      .select(explode(col("grams")).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val bc = stream.sparkSession.sparkContext.broadcast(evalGrams)
+    val withG = stream.withColumn("_grams",
+      graft.functions.NgramShingles.ngrams(col(textCol), n))
+    val gIdx = withG.schema.fieldIndex("_grams")
+    withG.filter((r: org.apache.spark.sql.Row) =>
+        r.getSeq[String](gIdx).exists(bc.value.contains))
+      .drop("_grams")
+  }
+
   /** streaming distribution-drift: tumbling-window KLL sketches of a
     * numeric column, each compared against a BASELINE sketch (serialized
     * bytes — e.g. from a batch [[graft.engine.Drift.sketch]] persisted

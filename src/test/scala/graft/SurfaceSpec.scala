@@ -329,6 +329,39 @@ class SurfaceSpec extends SparkTestBase {
       b.map(_.getAs[String]("got")).toSeq)
   }
 
+  test("streaming: decontamination flags arriving docs sharing eval " +
+       "n-grams, equal to the batch overlap id set") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val ev = Seq((100L, "a b c d e f g h"))
+      .toDF("eval_id", "eval_text")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val out = StreamingValidate.contaminated(df, ev, "text",
+      "eval_id", "eval_text", n = 8)
+    val q = out.writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    mem.addData((1L, "a b c d e f g h"),        // exact copy
+      (2L, "k l m n o p q r s t"))              // disjoint
+    q.processAllAvailable()
+    mem.addData((3L, "z a b c d e f g h"),      // suffix overlap
+      (4L, "a b c d e f g"))                    // only 7 tokens shared
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdecon").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+    // batch equivalence: same id set as Decontaminate.overlap
+    val batch = Seq((1L, "a b c d e f g h"), (2L, "k l m n o p q r s t"),
+      (3L, "z a b c d e f g h"), (4L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val b = pipeline.Decontaminate.overlap(batch, ev, "doc_id", "text",
+      "eval_id", "eval_text", n = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(b == got)
+  }
+
   test("streaming: watermarked windowed summary aggregates pass/fail") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
