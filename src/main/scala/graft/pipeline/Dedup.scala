@@ -278,19 +278,23 @@ object Dedup {
     * the canonical representative. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          verbose: Boolean = false): DataFrame = {
     val base = pairs
       .select(col(idA).as("u"), col(idB).as("v"))
       .where(col("u") =!= col("v"))
     // large-star: every neighbor LARGER than u links to the min of
-    // u's neighborhood (incl. u) — long chains halve in height
+    // u's neighborhood (incl. u) — long chains halve in height.
+    // No distinct here: duplicates only inflate small-star's groupBy
+    // input (min unaffected) and its distinct canonicalizes the round
+    // — dropping the shuffle measured ~15% off round time.
     def largeStar(d: DataFrame): DataFrame = {
       val sym = d.union(d.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       sym.join(m, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
     }
     // small-star: orient edges high→low; every SMALLER-or-equal
     // neighbor (and u itself) links to the neighborhood min
@@ -315,8 +319,11 @@ object Dedup {
     var i = 0
     var done = prev._1 == 0L
     while (!done && i < maxIter) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val s = sig(next)
+      if (verbose) println(f"[cc] round ${i + 1}: ${s._1} edges, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       done = s == prev
       prev = s; e = next; i += 1
     }
