@@ -23,9 +23,11 @@ object QualityFilter {
   private def keep2v(c: Column): Column = coalesce(c, lit(false))
 
   /** the kept rows: one conjunctive predicate, fully pushdown-eligible
-    * (plain boolean Columns — Catalyst splits and pushes conjuncts). */
+    * (plain boolean Columns — Catalyst splits and pushes conjuncts).
+    * No rules ⇒ identity (a config-driven empty rule list is valid). */
   def apply(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
-    df.where(rules.map(r => keep2v(r._2)).reduce(_ && _))
+    if (rules.isEmpty) df
+    else df.where(rules.map(r => keep2v(r._2)).reduce(_ && _))
 
   /** one-scan funnel report: one row per rule (declaration order,
     * `rule_idx` carries it) with independent and first-fail drop
@@ -33,6 +35,10 @@ object QualityFilter {
     * Single aggregation over conditional counts — the scan cost is one
     * pass whatever the rule count. */
   def report(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    if (rules.isEmpty)
+      return df.agg(count(lit(1)).as("kept"))
+        .select(lit(0).as("rule_idx"), lit("__kept__").as("rule"),
+          col("kept").as("n_fail"), col("kept").as("n_fail_first"))
     val ks = rules.map(r => keep2v(r._2))
     val aggs = ks.zipWithIndex.flatMap { case (keep, i) =>
       val firstFail = ks.take(i).foldLeft(!keep) {

@@ -109,8 +109,13 @@ object StreamingValidate {
     val withG = stream.withColumn("_grams",
       graft.functions.NgramShingles.ngrams(col(textCol), n))
     val gIdx = withG.schema.fieldIndex("_grams")
-    withG.filter((r: org.apache.spark.sql.Row) =>
-        r.getSeq[String](gIdx).exists(bc.value.contains))
+    withG.filter { (r: org.apache.spark.sql.Row) =>
+        // null text ⇒ null grams (NgramShingles is null-propagating);
+        // treat as not-contaminated like the batch path, where explode
+        // drops the null — an NPE here would kill the whole query
+        val g = r.getSeq[String](gIdx)
+        g != null && g.exists(bc.value.contains)
+      }
       .drop("_grams")
   }
 

@@ -76,6 +76,15 @@ class DecontamFilterSpec extends SparkTestBase {
     assert(rep("__kept__") == 1L)
   }
 
+  test("filter funnel: empty rule list = identity + bare kept row") {
+    val df = Seq((1L, 10), (2L, 30)).toDF("id", "v")
+    assert(QualityFilter(df, Seq.empty).count() == 2)
+    val rep = QualityFilter.report(df, Seq.empty).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getString(1) == "__kept__")
+    assert(rep(0).getLong(2) == 2L)
+  }
+
   test("filter funnel: single scan (one aggregate in the plan)") {
     val df = Seq((1L, 10), (2L, 30)).toDF("id", "v")
     val rep = QualityFilter.report(df,

@@ -346,7 +346,8 @@ class SurfaceSpec extends SparkTestBase {
       (2L, "k l m n o p q r s t"))              // disjoint
     q.processAllAvailable()
     mem.addData((3L, "z a b c d e f g h"),      // suffix overlap
-      (4L, "a b c d e f g"))                    // only 7 tokens shared
+      (4L, "a b c d e f g"),                    // only 7 tokens shared
+      (5L, null))                               // null text must not NPE
     q.processAllAvailable()
     q.stop()
     val got = spark.table("sdecon").select("doc_id").collect()
@@ -354,7 +355,7 @@ class SurfaceSpec extends SparkTestBase {
     assert(got == Set(1L, 3L))
     // batch equivalence: same id set as Decontaminate.overlap
     val batch = Seq((1L, "a b c d e f g h"), (2L, "k l m n o p q r s t"),
-      (3L, "z a b c d e f g h"), (4L, "a b c d e f g"))
+      (3L, "z a b c d e f g h"), (4L, "a b c d e f g"), (5L, null))
       .toDF("doc_id", "text")
     val b = pipeline.Decontaminate.overlap(batch, ev, "doc_id", "text",
       "eval_id", "eval_text", n = 8)
