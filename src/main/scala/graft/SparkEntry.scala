@@ -100,11 +100,27 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_partkey")
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
 
+    // referential, keys-path scale shape (fact never shuffled: distinct
+    // FK keys anti-join the dim, dangling keys semi-join back) — same
+    // rows as ref_lineitem_part, same oracle
+    "ref_lineitem_part_keys" -> ((s, dir) =>
+      Referential.danglingViaKeys(t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part").where(col("p_size") <= 25), "p_partkey")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
     // single-scan per-column stats (exact audit mode for oracle parity)
     "stats_documents" -> ((s, dir) =>
       Stats.profile(t(s, dir, "documents"),
           Seq("doc_id", "lang", "source", "n_chars"), exact = true)
         .orderBy("column")),
+
+    // heavy hitters: top source values via the mergeable frequent-items
+    // sketch (exact in this regime — the oracle checks counts AND the
+    // exactness flag)
+    "topv_doc_source" -> ((s, dir) =>
+      Stats.topValues(t(s, dir, "documents"), "source", k = 3)
+        .orderBy(col("n").desc, col("value"))),
 
     // length histogram (log2 buckets)
     "hist_doc_length" -> ((s, dir) =>
@@ -361,6 +377,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // decontamination via the Bloom-prefiltered scale path (for eval
+    // sets too big to broadcast exactly): bit-identical output to
+    // decontam_overlap, same oracle
+    "decontam_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ev = pipeline.Sampling.groupTopK(docs, "lang", "doc_id", 5)
+        .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+      val train = docs.join(
+        broadcast(ev.select(col("eval_id").as("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      pipeline.Decontaminate.overlapBloom(train, ev, "doc_id", "text",
+          "eval_id", "eval_text", n = 8)
+        .orderBy("id")
+    }),
+
     // quality-filter funnel: per-rule drop accounting in ONE scan
     "filter_report" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -482,6 +513,43 @@ object SparkEntry {
         .withColumn("ks", round(col("ks"), 4))
         .withColumn("psi", round(col("psi"), 4))
     }))
+
+  // shared by ref_lineitem_part and its keys-path twin
+  private val refLineitemPartSql =
+    """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l
+      |WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+      |  SELECT 1 FROM part p
+      |  WHERE p.p_partkey = l.l_partkey AND p.p_size <= 25)
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
+
+  // shared by decontam_overlap and its bloom-prefiltered twin: the eval
+  // subset is the same deterministic hash-rank sample as
+  // sample_group_topk; 8-grams via the positional-slice idiom the
+  // minhash oracle uses
+  private val decontamOverlapSql = {
+    val g8 = (0 to 7).map(j => s"ts[u.i+$j]").mkString(" || ' ' || ")
+    s"""WITH rk AS (
+       |  SELECT doc_id, text, row_number() OVER (PARTITION BY lang
+       |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) ||
+       |      'graft-topk'), 1, 8), doc_id) AS rk
+       |  FROM documents),
+       |evd AS (SELECT doc_id AS eval_id, text FROM rk WHERE rk <= 5),
+       |eg AS (
+       |  SELECT DISTINCT eval_id, $g8 AS g
+       |  FROM (SELECT eval_id, string_split(text, ' ') AS ts FROM evd)
+       |    x, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) u),
+       |tg AS (
+       |  SELECT DISTINCT d.doc_id AS id, $g8 AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+       |        FROM documents
+       |        WHERE doc_id NOT IN (SELECT eval_id FROM evd)) d,
+       |    LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) u)
+       |SELECT id, count(DISTINCT g) AS n_shared_ngrams,
+       |  count(DISTINCT eval_id) AS n_eval_docs
+       |FROM tg JOIN eg USING (g)
+       |GROUP BY id HAVING count(DISTINCT g) >= 1
+       |ORDER BY id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -655,12 +723,18 @@ object SparkEntry {
         |  path, expected, got
         |FROM v ORDER BY id, seq""".stripMargin,
 
-    "ref_lineitem_part" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l
-        |WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
-        |  SELECT 1 FROM part p
-        |  WHERE p.p_partkey = l.l_partkey AND p.p_size <= 25)
-        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    "ref_lineitem_part" -> refLineitemPartSql,
+    // keys-path referential: identical semantics, identical oracle
+    "ref_lineitem_part_keys" -> refLineitemPartSql,
+
+    // heavy hitters: exact in this regime (distincts << maxMapSize), so
+    // the oracle is the exact top-k with the engine's (n desc, value)
+    // tie-break; `exact` must read true
+    "topv_doc_source" ->
+      """SELECT source AS value, count(*) AS n, count(*) AS n_lb,
+        |  count(*) AS n_ub, TRUE AS exact
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY source ORDER BY n DESC, value LIMIT 3""".stripMargin,
 
     "stats_documents" ->
       Seq("doc_id", "lang", "source", "n_chars").map(c =>
@@ -936,33 +1010,9 @@ object SparkEntry {
         |GROUP BY m.component, m.n_members
         |ORDER BY m.component""".stripMargin,
 
-    // the eval subset is the same deterministic hash-rank sample as
-    // sample_group_topk; 8-grams via the positional-slice idiom the
-    // minhash oracle uses
-    "decontam_overlap" -> {
-      val g8 = (0 to 7).map(j => s"ts[u.i+$j]").mkString(" || ' ' || ")
-      s"""WITH rk AS (
-         |  SELECT doc_id, text, row_number() OVER (PARTITION BY lang
-         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) ||
-         |      'graft-topk'), 1, 8), doc_id) AS rk
-         |  FROM documents),
-         |evd AS (SELECT doc_id AS eval_id, text FROM rk WHERE rk <= 5),
-         |eg AS (
-         |  SELECT DISTINCT eval_id, $g8 AS g
-         |  FROM (SELECT eval_id, string_split(text, ' ') AS ts FROM evd)
-         |    x, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) u),
-         |tg AS (
-         |  SELECT DISTINCT d.doc_id AS id, $g8 AS g
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
-         |        FROM documents
-         |        WHERE doc_id NOT IN (SELECT eval_id FROM evd)) d,
-         |    LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) u)
-         |SELECT id, count(DISTINCT g) AS n_shared_ngrams,
-         |  count(DISTINCT eval_id) AS n_eval_docs
-         |FROM tg JOIN eg USING (g)
-         |GROUP BY id HAVING count(DISTINCT g) >= 1
-         |ORDER BY id""".stripMargin
-    },
+    "decontam_overlap" -> decontamOverlapSql,
+    // bloom prefilter preserves exactness — identical oracle
+    "decontam_bloom" -> decontamOverlapSql,
 
     "filter_report" -> {
       val set = pipeline.TextAnalysis.stopwords.toMap.apply("en")

@@ -35,6 +35,27 @@ object Referential {
     fact.where(col(fkCol).isNotNull).join(keys, Seq(fkCol), "left_anti")
   }
 
+  /** [[dangling]] for dimensions too big to broadcast, where a plain
+    * anti join would sort-merge — i.e. EXCHANGE THE FACT by FK. This
+    * shape never shuffles fact rows: (1) the fact's distinct FK values
+    * collapse map-side (partial hash agg) into the key space — at 100 TB
+    * the distinct-key stream is orders of magnitude smaller than the row
+    * stream; (2) those keys anti-join the dim key projection (a shuffle
+    * of keys only, on both sides); (3) the surviving dangling keys — rare
+    * by the validation-engine assumption — semi-join back onto the fact,
+    * where AQE sees their runtime size and broadcasts. Output identical
+    * to [[dangling]]. The trade: the fact is SCANNED twice (cheap,
+    * pruned-column, pushdown-eligible) instead of shuffled once. */
+  def danglingViaKeys(fact: DataFrame, fkCol: String, dim: DataFrame,
+                      pkCol: String): DataFrame = {
+    val factKeys = fact.where(col(fkCol).isNotNull)
+      .select(fkCol).distinct()
+    val dimKeys = dim.select(col(pkCol).as(fkCol)).distinct()
+    val danglingKeys = factKeys.join(dimKeys, Seq(fkCol), "left_anti")
+    fact.where(col(fkCol).isNotNull)
+      .join(danglingKeys, Seq(fkCol), "left_semi")
+  }
+
   /** dangling FKs in the violation shape. */
   def violations(fact: DataFrame, fkCol: String, dim: DataFrame,
                  pkCol: String, idCol: String, thing: String = "data",

@@ -1,6 +1,10 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Per-column statistics profile (the column-stats pass of BASELINE.json
@@ -51,4 +55,83 @@ object Stats {
         .when(length(col(c)) === 0, lit(-1))
         .otherwise(floor(log2(length(col(c))))).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------------
+  // Heavy hitters (frequent items) — the "top values" column profile a
+  // validation engine reports next to ndv/min/max. A plain
+  // groupBy(col).count().orderBy(count) is exact but shuffles one row per
+  // DISTINCT value — at 100 TB a high-cardinality column (doc_id-like,
+  // 10¹² distincts) makes that a full re-key of the table for a profile
+  // that only wants the top handful. The Misra-Gries family bounds the
+  // state instead: a mergeable ItemsSketch (datasketches-java, public
+  // Apache project — same jar as the KLL drift sketch) holds at most
+  // `maxMapSize` counters per partial, merges associatively through
+  // Spark's partial/final aggregation, and guarantees every item with
+  // true count > n/maxMapSize survives with estimate error ≤
+  // getMaximumError (0 ⇒ no purge ever happened ⇒ counts are EXACT —
+  // the small-scale audit regime the DuckDB oracle checks).
+
+  /** sketch buffer: live heap object between serializations (same shim
+    * pattern as [[Drift.KllHolder]]). */
+  final class FreqHolder(@transient var sketch: ItemsSketch[String])
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val b = sketch.toByteArray(new ArrayOfStringsSerDe)
+      out.writeInt(b.length); out.write(b)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      sketch = ItemsSketch.getInstance(Memory.wrap(b),
+        new ArrayOfStringsSerDe)
+    }
+  }
+
+  /** Aggregator: string column → serialized frequent-items sketch
+    * (nulls skipped inside reduce, like [[Drift.KllAggNullable]]). */
+  class FreqAgg(maxMapSize: Int)
+      extends Aggregator[Option[String], FreqHolder, Array[Byte]] {
+    def zero: FreqHolder = new FreqHolder(new ItemsSketch[String](maxMapSize))
+    def reduce(buf: FreqHolder, v: Option[String]): FreqHolder = {
+      v.foreach(buf.sketch.update); buf
+    }
+    def merge(a: FreqHolder, b: FreqHolder): FreqHolder = {
+      a.sketch.merge(b.sketch); a
+    }
+    def finish(buf: FreqHolder): Array[Byte] =
+      buf.sketch.toByteArray(new ArrayOfStringsSerDe)
+    def bufferEncoder: Encoder[FreqHolder] =
+      Encoders.javaSerialization[FreqHolder]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** merged sketch over one column in one scan. `maxMapSize` must be a
+    * power of 2; accuracy: estimates overshoot by at most ~3.5/maxMapSize
+    * of the stream length (0 when the distinct count never exceeded
+    * 0.75·maxMapSize — then the sketch is exact). */
+  def frequencySketch(df: DataFrame, colName: String,
+                      maxMapSize: Int = 1024): ItemsSketch[String] = {
+    val agg = udaf(new FreqAgg(maxMapSize))
+    val bytes = df.agg(agg(col(colName).cast("string")))
+      .head().getAs[Array[Byte]](0)
+    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+  }
+
+  /** top-k values of a column by (estimated) frequency, deterministic
+    * tie-break on the value itself. Columns: value, n (estimate),
+    * n_lb/n_ub (guaranteed bounds; lb = ub = n when the sketch stayed
+    * exact), exact (whether estimates are true counts). Driver-sized
+    * result (≤ maxMapSize rows before the take). */
+  def topValues(df: DataFrame, colName: String, k: Int,
+                maxMapSize: Int = 1024): DataFrame = {
+    val sk = frequencySketch(df, colName, maxMapSize)
+    val exact = sk.getMaximumError == 0
+    val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).toSeq
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .sortBy { case (v, est, _, _) => (-est, v) }
+      .take(k)
+      .map { case (v, est, lb, ub) => (v, est, lb, ub, exact) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("value", "n", "n_lb", "n_ub", "exact")
+  }
 }

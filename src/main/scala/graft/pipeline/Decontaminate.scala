@@ -36,6 +36,46 @@ object Decontaminate {
       .where(col("n_shared_ngrams") >= minShared)
   }
 
+  /** [[overlap]] for eval corpora too big to broadcast as an exact
+    * gram set: a Bloom filter of the eval n-grams (built distributed
+    * via `DataFrameStatFunctions.bloomFilter`, ~1.2 bytes/gram at 1%
+    * fpp vs ~50+ bytes for the gram string itself) prunes the training
+    * side MAP-SIDE — a gram the filter rejects is DEFINITELY not in the
+    * eval set (no false negatives), so only bloom hits (true overlaps +
+    * an fpp-fraction of false positives) reach the exact verification
+    * join, which removes the false positives. Output is identical to
+    * [[overlap]]; the training table is still never shuffled by n-gram,
+    * and the verification join's input is ~|true overlaps| +
+    * fpp·|training grams| instead of |training grams| — AQE sees the
+    * runtime size and picks broadcast for the typical tiny survivor set.
+    *
+    * `expectedGrams` sizes the filter; 0 means count the deduped eval
+    * grams first (one extra pass over the SMALL side only). */
+  def overlapBloom(train: DataFrame, evalDf: DataFrame,
+                   idCol: String, textCol: String,
+                   evalIdCol: String, evalTextCol: String,
+                   n: Int = 8, minShared: Int = 1, fpp: Double = 0.01,
+                   expectedGrams: Long = 0L): DataFrame = {
+    val eg = Dedup.withNgrams(evalDf, evalIdCol, evalTextCol, n)
+      .select(col("id").as("eval_id"), explode(col("grams")).as("g"))
+      .distinct()
+    val egGrams = eg.select("g").distinct()
+    val expected =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(egGrams.count(), 1L)
+    val bf = egGrams.stat.bloomFilter("g", expected, fpp)
+    val mightContain =
+      udf((s: String) => s != null && bf.mightContainString(s))
+    val tg = Dedup.withNgrams(train, idCol, textCol, n)
+      .select(col("id"), explode(col("grams")).as("g"))
+      .where(mightContain(col("g")))
+    tg.join(eg, "g") // unhinted: AQE broadcasts the tiny survivor side
+      .groupBy("id")
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .where(col("n_shared_ngrams") >= minShared)
+  }
+
   /** the clean training set: drop every doc [[overlap]] flags. Uses a
     * broadcast anti-join on the flagged id set (small by construction —
     * contamination is rare; if it weren't, the corpus has bigger

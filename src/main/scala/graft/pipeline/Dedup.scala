@@ -311,7 +311,7 @@ object Dedup {
     }
     def sig(d: DataFrame): (Long, Long) = {
       val r = d.select(xxhash64(col("u"), col("v")).as("h"))
-        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var e = base.distinct().localCheckpoint(true)

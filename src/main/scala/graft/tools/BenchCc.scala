@@ -80,7 +80,7 @@ object BenchCc {
     assert(starComps == nStars, "star components wrong")
     val worstChain = comp.where(col("id") < starBase)
       .groupBy("component").count()
-      .agg(min("count"), max("count")).head
+      .agg(min("count"), max("count")).head()
     println(s"CC-BENCH chain sizes min=${worstChain.getLong(0)} " +
       s"max=${worstChain.getLong(1)} (expect $chainLen both)")
     assert(worstChain.getLong(0) == chainLen &&

@@ -38,6 +38,31 @@ class DecontamFilterSpec extends SparkTestBase {
       "eval_id", "eval_text", n = 8, minShared = 2).count() == 0)
   }
 
+  test("decontaminate: bloom prefilter ≡ exact overlap, even at an " +
+      "absurd fpp (verification join removes false positives)") {
+    // synthetic corpus over a 26-token vocab so grams collide: some
+    // train docs copy eval text, most don't
+    val words = ('a' to 'z').map(_.toString)
+    def text(seed: Int, len: Int): String =
+      (0 until len).map(i => words(math.abs(seed * 31 + i * 7) % 26))
+        .mkString(" ")
+    val train = (1 to 40).map(i => (i.toLong, text(i, 12)))
+      .toDF("doc_id", "text")
+    val ev = Seq((101L, text(5, 12)), (102L, text(9, 12)),
+      (103L, text(999, 12))).toDF("eval_id", "eval_text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val exact = norm(Decontaminate.overlap(train, ev, "doc_id", "text",
+      "eval_id", "eval_text", n = 8))
+    assert(exact.map(_._1).contains(5L)) // the planted copy is flagged
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = norm(Decontaminate.overlapBloom(train, ev, "doc_id",
+        "text", "eval_id", "eval_text", n = 8, fpp = fpp))
+      assert(bloom == exact, s"fpp=$fpp diverged")
+    }
+  }
+
   test("filter funnel: marginals, first-fail partition, kept row") {
     val df = Seq(
       (1L, 10),  // fails r0 only

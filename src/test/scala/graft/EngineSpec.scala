@@ -22,6 +22,52 @@ class EngineSpec extends SparkTestBase {
     assert(sk.getN == 10000)
   }
 
+  test("topValues: exact regime matches groupBy counts; bounds collapse; " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    // zipfish skew: value v_i appears ~ 600/i times, 24 distincts << 1024
+    val data = (1 to 24).flatMap(i => Seq.fill(600 / i)(f"v$i%02d"))
+    val df = data.toDF("s")
+    val expected = data.groupBy(identity).map { case (v, xs) =>
+      (v, xs.size.toLong) }.toSeq
+      .sortBy { case (v, n) => (-n, v) }.take(5)
+    val got = Stats.topValues(df, "s", k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.map(t => (t._1, t._2)).toSeq == expected)
+    // exact regime: no purge ever happened, so lb = ub = estimate
+    got.foreach { case (_, n, lb, ub, exact) =>
+      assert(exact && lb == n && ub == n)
+    }
+    // merge path: many partials merge to the same exact answer
+    val got7 = Stats.topValues(df.repartition(7), "s", k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got7.toSeq == expected)
+  }
+
+  test("topValues: purge regime keeps every true heavy hitter within " +
+      "its error bound (no false negatives)") {
+    import spark.implicits._
+    // 400 distinct light values + 2 heavy ones, map capped at 16
+    // counters: the heavies dwarf the error bound (~n/counters ≈ 125),
+    // so they MUST survive the purges and rank on top
+    val data = (1 to 400).map(i => s"light$i") ++
+      Seq.fill(600)("heavyA") ++ Seq.fill(500)("heavyB")
+    val df = data.toDF("s").repartition(5)
+    val sk = Stats.frequencySketch(df, "s", maxMapSize = 16)
+    assert(sk.getMaximumError > 0) // genuinely in the approximate regime
+    val top = Stats.topValues(df, "s", k = 2, maxMapSize = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    // Misra-Gries guarantee: an item with true count > maxError cannot
+    // be evicted, and true count lies within [lb, ub]
+    val byV = top.map(t => t._1 -> t).toMap
+    assert(byV.contains("heavyA") && byV.contains("heavyB"))
+    assert(byV("heavyA")._3 <= 600 && 600 <= byV("heavyA")._4)
+    assert(byV("heavyB")._3 <= 500 && 500 <= byV("heavyB")._4)
+    top.foreach { case (_, _, _, _, exact) => assert(!exact) }
+  }
+
   test("identical distributions: no drift; shifted distributions: drift") {
     val base = SpanGen.docs(spark, 3000, 4)
       .select(size(col("spans")).cast("double").as("n_spans"))

@@ -169,6 +169,21 @@ class SurfaceSpec extends SparkTestBase {
     assert(fhints.nonEmpty, "Some(true) must force the broadcast hint")
   }
 
+  test("referential: keys-path shape ≡ anti join, incl. duplicate FKs " +
+      "and NULL skip") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, null), (4L, "c"), (5L, "a"),
+      (6L, "b")).toDF("id", "fk")
+    val dim = Seq("a", "c").toDF("pk")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val base = ids(graft.engine.Referential.dangling(fact, "fk", dim, "pk"))
+    val viaKeys = ids(
+      graft.engine.Referential.danglingViaKeys(fact, "fk", dim, "pk"))
+    assert(base == Set(2L, 6L))
+    assert(viaKeys == base)
+  }
+
   // --- forwardRef (contract.impl.js:484-511) ---
   test("forwardRef: self-referential contract bounded by schema depth") {
     val ref = C.forwardRef()
