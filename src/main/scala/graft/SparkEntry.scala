@@ -512,6 +512,46 @@ object SparkEntry {
         ev.where(col("event_type") === "purchase"), "value")(s)
         .withColumn("ks", round(col("ks"), 4))
         .withColumn("psi", round(col("psi"), 4))
+    }),
+
+    // Iceberg-analog schema-evolution gate: stage two snapshots of an
+    // evolving table (adds, drops, safe numeric widenings, a breaking
+    // retype — including INSIDE a struct and an array element) and diff
+    // their schemas. O(schema), never O(data) — the change list is
+    // driver-sized by construction. The oracle re-derives every change
+    // STRUCTURALLY from the staged parquet bytes (parquet_schema DFS
+    // walk), independent of Spark's schema reader.
+    "schema_drift" -> ((s, dir) => {
+      import s.implicits._
+      val g = genDir(dir)
+      val base = s.range(3)
+      val v1 = base.select(
+        col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"),
+        col("id").cast("int").as("n_tokens"),
+        col("id").cast("float").as("score"),
+        struct(lit("en").as("lang"), lit("s1").as("src")).as("meta"),
+        array(col("id").cast("int"), lit(2)).as("tags"),
+        lit("src1").as("source"))
+      val v2 = base.select(
+        col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text"),
+        col("id").as("n_tokens"),               // int -> bigint (safe)
+        col("id").cast("double").as("score"),   // float -> double (safe)
+        struct(lit("en").as("lang"),
+          lit(3).as("src"),                     // string -> int (BREAKING)
+          lit("eu").as("region")).as("meta"),   // added nested field
+        array(col("id"), lit(2L)).as("tags"),   // element int -> bigint
+        lit("cc").as("license"))                // added; `source` dropped
+      v1.coalesce(1).write.mode("overwrite").parquet(s"$g/schema_v1")
+      v2.coalesce(1).write.mode("overwrite").parquet(s"$g/schema_v2")
+      engine.SchemaEvolution.diff(
+          s.read.parquet(s"$g/schema_v1").schema,
+          s.read.parquet(s"$g/schema_v2").schema)
+        .map(c => (c.path, c.kind.label, c.prevType.orNull,
+          c.curType.orNull, c.safe))
+        .toDF("path", "kind", "prev_type", "cur_type", "safe")
+        .orderBy("path")
     }))
 
   // shared by ref_lineitem_part and its keys-path twin
@@ -551,7 +591,75 @@ object SparkEntry {
        |ORDER BY id""".stripMargin
   }
 
+  // Structural schema reconstruction for the schema_drift oracle:
+  // parquet_schema() lists a file's type tree in DFS order with direct-
+  // child counts; a recursive one-row-per-step fold carries a
+  // (path-prefix, remaining-children) stack to rebuild full field paths,
+  // normalizing parquet's 3-level list encoding (`list` wrapper skipped,
+  // `element` -> "[]") and mapping physical+converted types to Spark SQL
+  // names — so the oracle diffs the SAME bytes the engine read, through
+  // a completely independent schema decoder.
+  private def parquetLeavesSql(tag: String, fileGlob: String): String = {
+    def childPath(top: String) =
+      s"""CASE r.name WHEN 'list' THEN $top
+         |      WHEN 'element' THEN $top || '[]'
+         |      ELSE CASE WHEN $top = '' THEN r.name
+         |        ELSE $top || '.' || r.name END END""".stripMargin
+    s"""raw$tag AS (
+       |  SELECT row_number() OVER () AS i, name,
+       |    coalesce(type, '') AS ptyp, coalesce(converted_type, '') AS ct,
+       |    coalesce(num_children, 0)::INT AS nch
+       |  FROM parquet_schema('$fileGlob')),
+       |walk$tag AS (
+       |  SELECT 1::BIGINT AS i, CAST(NULL AS VARCHAR) AS path,
+       |    '' AS ptyp, '' AS ct, 1 AS nch,
+       |    [{'pfx': '', 'rem': (SELECT nch FROM raw$tag WHERE i = 1)}]
+       |      AS stack
+       |  UNION ALL
+       |  SELECT r.i,
+       |    ${childPath("w.stack[-1].pfx")},
+       |    r.ptyp, r.ct, r.nch,
+       |    (SELECT l[1:greatest(coalesce(list_max(list_transform(l,
+       |        (x, ii) -> CASE WHEN x.rem > 0 THEN ii END)), 0), 0)]
+       |     FROM (SELECT CASE WHEN r.nch > 0 THEN list_append(s1,
+       |         {'pfx': ${childPath("w.stack[-1].pfx")},
+       |          'rem': r.nch}) ELSE s1 END AS l
+       |       FROM (SELECT list_concat(w.stack[1:len(w.stack)-1],
+       |         [{'pfx': w.stack[-1].pfx, 'rem': w.stack[-1].rem - 1}])
+       |         AS s1)))
+       |  FROM walk$tag w JOIN raw$tag r ON r.i = w.i + 1),
+       |lv$tag AS (
+       |  SELECT path, CASE WHEN ptyp = 'INT32' THEN 'int'
+       |    WHEN ptyp = 'INT64' THEN 'bigint'
+       |    WHEN ptyp = 'FLOAT' THEN 'float'
+       |    WHEN ptyp = 'DOUBLE' THEN 'double'
+       |    WHEN ptyp = 'BOOLEAN' THEN 'boolean'
+       |    WHEN ptyp = 'BYTE_ARRAY' AND ct = 'UTF8' THEN 'string' END
+       |    AS typ
+       |  FROM walk$tag WHERE nch = 0)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    // schema-evolution gate replayed structurally: leaf paths+types of
+    // both staged snapshots from their parquet bytes, full-outer-joined;
+    // `safe` = added or an Iceberg-legal numeric widening
+    "schema_drift" ->
+      s"""WITH RECURSIVE
+         |${parquetLeavesSql("1", "/tmp/graft_gen/sf0.01/schema_v1/*.parquet")},
+         |${parquetLeavesSql("2", "/tmp/graft_gen/sf0.01/schema_v2/*.parquet")}
+         |SELECT coalesce(a.path, b.path) AS path,
+         |  CASE WHEN a.path IS NULL THEN 'added'
+         |    WHEN b.path IS NULL THEN 'removed' ELSE 'retyped' END
+         |    AS kind,
+         |  a.typ AS prev_type, b.typ AS cur_type,
+         |  (a.path IS NULL OR coalesce(a.typ || '>' || b.typ, '') IN
+         |    ('tinyint>smallint', 'tinyint>int', 'tinyint>bigint',
+         |     'smallint>int', 'smallint>bigint', 'int>bigint',
+         |     'float>double')) AS safe
+         |FROM lv1 a FULL OUTER JOIN lv2 b ON a.path = b.path
+         |WHERE a.path IS NULL OR b.path IS NULL OR a.typ <> b.typ
+         |ORDER BY path""".stripMargin,
 
     // message column replicates the REFERENCE ContractError format
     // (multi-line; captured from executing the reference — see
