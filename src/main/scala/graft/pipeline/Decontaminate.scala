@@ -63,9 +63,15 @@ object Decontaminate {
     val expected =
       if (expectedGrams > 0) expectedGrams
       else math.max(egGrams.count(), 1L)
-    val bf = egGrams.stat.bloomFilter("g", expected, fpp)
+    // the filter rides to executors as a BROADCAST variable, not a UDF
+    // closure: a closure-captured filter is re-serialized into every
+    // task binary of every stage that touches the probe (at 10⁹ eval
+    // grams the filter is GBs — broadcast ships it once per executor
+    // via the torrent protocol and keeps it off the task path)
+    val bfB = train.sparkSession.sparkContext.broadcast(
+      egGrams.stat.bloomFilter("g", expected, fpp))
     val mightContain =
-      udf((s: String) => s != null && bf.mightContainString(s))
+      udf((s: String) => s != null && bfB.value.mightContainString(s))
     val tg = Dedup.withNgrams(train, idCol, textCol, n)
       .select(col("id"), explode(col("grams")).as("g"))
       .where(mightContain(col("g")))
