@@ -352,7 +352,7 @@ object SparkEntry {
       pipeline.Dedup.minhashLshPairs(t(s, dir, "documents"),
           "doc_id", "text", n = 3, threshold = 0.5)
         .select("id_a", "id_b")
-        .coalesce(1).write.mode("overwrite")
+        .write.mode("overwrite")
         .parquet(s"${genDir(dir)}/cc_pairs")
       val comps = pipeline.Dedup.connectedComponents(
         s.read.parquet(s"${genDir(dir)}/cc_pairs"))
@@ -413,7 +413,7 @@ object SparkEntry {
       pipeline.Dedup.minhashLshPairs(t(s, dir, "documents"),
           "doc_id", "text", n = 3, threshold = 0.5)
         .select("id_a", "id_b")
-        .coalesce(1).write.mode("overwrite")
+        .write.mode("overwrite")
         .parquet(s"${genDir(dir)}/cc_pairs")
       pipeline.Dedup.connectedComponents(
           s.read.parquet(s"${genDir(dir)}/cc_pairs"))

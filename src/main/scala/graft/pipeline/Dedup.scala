@@ -215,9 +215,10 @@ object Dedup {
                       stagingDir: Option[String] = None): DataFrame = {
     require(maxHamming <= 3, "4-band completeness requires <= 3")
     val sh0 = simhash128(df, idCol, textCol)
+    // natural parallelism: coalesce(1) would collapse the upstream
+    // signature aggregation into one task (see bucketAssignments note)
     val sh = stagingDir.map { dir =>
-      sh0.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/simhash128_sigs")
+      sh0.write.mode("overwrite").parquet(s"$dir/simhash128_sigs")
       df.sparkSession.read.parquet(s"$dir/simhash128_sigs")
     }.getOrElse(sh0)
     val mask32 = lit(0xFFFFFFFFL)
@@ -372,9 +373,10 @@ object Dedup {
     // staged runs read the persisted signatures back so the pair join
     // and the oracle consume the SAME bytes (and the signature agg runs
     // once, not once per downstream branch)
+    // natural parallelism: coalesce(1) would collapse the upstream
+    // signature aggregation into one task (see bucketAssignments note)
     val sh = stagingDir.map { dir =>
-      sh0.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/simhash_sigs")
+      sh0.write.mode("overwrite").parquet(s"$dir/simhash_sigs")
       df.sparkSession.read.parquet(s"$dir/simhash_sigs")
     }.getOrElse(sh0)
     val banded = sh.select(col("id"), col("simhash"),

@@ -235,9 +235,12 @@ object Similarity {
         struct(lit(t).as("t"), bucket(col(vecCol), ps(t)).as("b"))): _*))
         .as("tb"))
       .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // staged at natural parallelism: a coalesce(1) here wouldn't just
+    // serialize the write, it collapses the UPSTREAM hyperplane scoring
+    // into one task (coalesce propagates up — no shuffle boundary);
+    // the bytes are deterministic per row regardless of file count
     stagingDir.map { dir =>
-      bucketed0.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/$stageName")
+      bucketed0.write.mode("overwrite").parquet(s"$dir/$stageName")
       df.sparkSession.read.parquet(s"$dir/$stageName")
     }.getOrElse(bucketed0)
   }

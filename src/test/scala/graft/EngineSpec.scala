@@ -311,6 +311,71 @@ class EngineSpec extends SparkTestBase {
       s"resume after abort: processed=$p skipped=$s")
   }
 
+  test("schema diff property: 200 random evolutions (drop/retype/add, " +
+      "flat and nested) are reported exactly, with the widening law") {
+    import org.apache.spark.sql.types._
+    val types: IndexedSeq[DataType] = IndexedSeq(IntegerType, LongType,
+      FloatType, DoubleType, StringType, BooleanType)
+    def tn(dt: DataType): String = dt.sql.toLowerCase
+    val widen = Set(("tinyint", "smallint"), ("tinyint", "int"),
+      ("tinyint", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
+      ("int", "bigint"), ("float", "double"))
+    val rnd = new scala.util.Random(7)
+    // one mutation round over a field list; returns (evolved fields,
+    // expected (path, kind, prev, cur) changes under `prefix`)
+    def mutate(base: Seq[StructField], prefix: String)
+        : (Seq[StructField], List[(String, String, Option[String], Option[String])]) = {
+      var exp = List.empty[(String, String, Option[String], Option[String])]
+      val cur = scala.collection.mutable.ArrayBuffer[StructField]()
+      def path(n: String) = if (prefix.isEmpty) n else s"$prefix.$n"
+      base.foreach { f =>
+        rnd.nextInt(3) match {
+          case 0 => cur += f
+          case 1 =>
+            exp ::= ((path(f.name), "removed", Some(tn(f.dataType)), None))
+          case 2 =>
+            val nt = types((types.indexOf(f.dataType) + 1 +
+              rnd.nextInt(types.length - 1)) % types.length)
+            cur += StructField(f.name, nt)
+            exp ::= ((path(f.name), "retyped",
+              Some(tn(f.dataType)), Some(tn(nt))))
+        }
+      }
+      (0 until rnd.nextInt(3)).foreach { j =>
+        val t = types(rnd.nextInt(types.length))
+        cur += StructField(s"g$j", t)
+        exp ::= ((path(s"g$j"), "added", None, Some(tn(t))))
+      }
+      (cur.toSeq, exp)
+    }
+    (1 to 200).foreach { _ =>
+      val flat = (0 until 1 + rnd.nextInt(5)).map(i =>
+        StructField(s"f$i", types(rnd.nextInt(types.length))))
+      val inner = (0 until 1 + rnd.nextInt(3)).map(i =>
+        StructField(s"n$i", types(rnd.nextInt(types.length))))
+      val (flatCur, flatExp) = mutate(flat, "")
+      val (innerCur, innerExp) = mutate(inner, "s")
+      val prev = StructType(flat :+ StructField("s", StructType(inner)))
+      val cur = StructType(flatCur :+
+        StructField("s", StructType(innerCur)))
+      val got = SchemaEvolution.diff(prev, cur)
+      assert(got.map(c => (c.path, c.kind.label, c.prevType, c.curType))
+        .toSet == (flatExp ++ innerExp).toSet)
+      // safety law: added always safe, removed never, retyped iff a
+      // lossless numeric widening
+      got.foreach { c =>
+        val want = c.kind.label match {
+          case "added"   => true
+          case "removed" => false
+          case _         => widen((c.prevType.get, c.curType.get))
+        }
+        assert(c.safe == want, s"$c safety")
+      }
+      // reflexivity: a schema never drifts from itself
+      assert(SchemaEvolution.diff(prev, prev).isEmpty)
+    }
+  }
+
   test("schema evolution, additive: an added column reads null for old " +
        "files, is ignored by the non-strict contract, and only the " +
        "touched partition recomputes") {
