@@ -366,12 +366,7 @@ object SparkEntry {
     // (deterministic) eval subset — eval n-grams broadcast, training
     // side map-only
     "decontam_overlap" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val ev = pipeline.Sampling.groupTopK(docs, "lang", "doc_id", 5)
-        .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
-      val train = docs.join(
-        broadcast(ev.select(col("eval_id").as("doc_id"))),
-        Seq("doc_id"), "left_anti")
+      val (train, ev) = decontamInputs(t(s, dir, "documents"))
       pipeline.Decontaminate.overlap(train, ev, "doc_id", "text",
           "eval_id", "eval_text", n = 8)
         .orderBy("id")
@@ -381,12 +376,7 @@ object SparkEntry {
     // sets too big to broadcast exactly): bit-identical output to
     // decontam_overlap, same oracle
     "decontam_bloom" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val ev = pipeline.Sampling.groupTopK(docs, "lang", "doc_id", 5)
-        .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
-      val train = docs.join(
-        broadcast(ev.select(col("eval_id").as("doc_id"))),
-        Seq("doc_id"), "left_anti")
+      val (train, ev) = decontamInputs(t(s, dir, "documents"))
       pipeline.Decontaminate.overlapBloom(train, ev, "doc_id", "text",
           "eval_id", "eval_text", n = 8)
         .orderBy("id")
@@ -554,6 +544,18 @@ object SparkEntry {
         .orderBy("path")
     }))
 
+  // shared (train, eval) split for decontam_overlap and its bloom twin:
+  // one definition so the exact-twin invariant (same eval subset, same
+  // oracle) cannot silently diverge between the two queries
+  private def decontamInputs(docs: DataFrame): (DataFrame, DataFrame) = {
+    val ev = pipeline.Sampling.groupTopK(docs, "lang", "doc_id", 5)
+      .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+    val train = docs.join(
+      broadcast(ev.select(col("eval_id").as("doc_id"))),
+      Seq("doc_id"), "left_anti")
+    (train, ev)
+  }
+
   // shared by ref_lineitem_part and its keys-path twin
   private val refLineitemPartSql =
     """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l
@@ -629,13 +631,16 @@ object SparkEntry {
        |         AS s1)))
        |  FROM walk$tag w JOIN raw$tag r ON r.i = w.i + 1),
        |lv$tag AS (
-       |  SELECT path, CASE WHEN ptyp = 'INT32' THEN 'int'
+       |  SELECT path, CASE WHEN ct = 'DATE' THEN 'date'
+       |    WHEN ct LIKE 'TIMESTAMP%' THEN 'timestamp'
+       |    WHEN ct = 'DECIMAL' THEN 'decimal'
+       |    WHEN ptyp = 'INT32' THEN 'int'
        |    WHEN ptyp = 'INT64' THEN 'bigint'
        |    WHEN ptyp = 'FLOAT' THEN 'float'
        |    WHEN ptyp = 'DOUBLE' THEN 'double'
        |    WHEN ptyp = 'BOOLEAN' THEN 'boolean'
-       |    WHEN ptyp = 'BYTE_ARRAY' AND ct = 'UTF8' THEN 'string' END
-       |    AS typ
+       |    WHEN ptyp = 'BYTE_ARRAY' AND ct = 'UTF8' THEN 'string'
+       |    ELSE 'unmapped:' || ptyp || ':' || ct END AS typ
        |  FROM walk$tag WHERE nch = 0)""".stripMargin
   }
 

@@ -50,7 +50,13 @@ object Decontaminate {
     * runtime size and picks broadcast for the typical tiny survivor set.
     *
     * `expectedGrams` sizes the filter; 0 means count the deduped eval
-    * grams first (one extra pass over the SMALL side only). */
+    * grams first (one extra pass over the SMALL side only).
+    *
+    * The eval gram projection feeds THREE subtrees (the sizing count,
+    * the filter build, the verification join), so it is persisted for
+    * the call — like `Dedup.ngramJaccardPairs`' gram projection, the
+    * returned plan still references it, so CALLERS own the unpersist
+    * (drop the returned frame or clear persistent RDDs between passes). */
   def overlapBloom(train: DataFrame, evalDf: DataFrame,
                    idCol: String, textCol: String,
                    evalIdCol: String, evalTextCol: String,
@@ -59,6 +65,7 @@ object Decontaminate {
     val eg = Dedup.withNgrams(evalDf, evalIdCol, evalTextCol, n)
       .select(col("id").as("eval_id"), explode(col("grams")).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val egGrams = eg.select("g").distinct()
     val expected =
       if (expectedGrams > 0) expectedGrams
@@ -67,7 +74,11 @@ object Decontaminate {
     // closure: a closure-captured filter is re-serialized into every
     // task binary of every stage that touches the probe (at 10⁹ eval
     // grams the filter is GBs — broadcast ships it once per executor
-    // via the torrent protocol and keeps it off the task path)
+    // via the torrent protocol and keeps it off the task path). Its
+    // lifecycle tracks the returned plan: the probe UDF holds the only
+    // handle, so once the caller drops the frame the ContextCleaner's
+    // reference tracking reclaims the blocks everywhere — no explicit
+    // destroy() needed (calling it early would break the lazy plan).
     val bfB = train.sparkSession.sparkContext.broadcast(
       egGrams.stat.bloomFilter("g", expected, fpp))
     val mightContain =
