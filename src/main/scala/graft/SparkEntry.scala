@@ -504,6 +504,30 @@ object SparkEntry {
         .withColumn("psi", round(col("psi"), 4))
     }),
 
+    // profile drift (the Deequ-style anomaly gate): null-rate and
+    // cardinality change per column between two deterministic snapshot
+    // halves of documents, with a planted null-rate jump on lang (every
+    // n_chars%3==0 row nulled) that must flip its pass to false while
+    // source / n_chars stay green. Exact mode — pure count arithmetic,
+    // replayed bit-for-bit by the oracle.
+    "drift_profile_documents" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.where(col("doc_id") % 2 === 0)
+      val cur = d.where(col("doc_id") % 2 === 1)
+        .withColumn("lang", when(col("n_chars") % 3 === 0, lit(null))
+          .otherwise(col("lang")))
+      engine.Stats.profileDrift(base, cur,
+          Seq("lang", "source", "n_chars"), exact = true)
+        .select(col("column"),
+          round(col("null_rate_base"), 6).as("null_rate_base"),
+          round(col("null_rate_cur"), 6).as("null_rate_cur"),
+          round(col("null_rate_delta"), 6).as("null_rate_delta"),
+          col("ndv_base"), col("ndv_cur"),
+          round(col("ndv_ratio_delta"), 6).as("ndv_ratio_delta"),
+          col("pass"))
+        .orderBy("column")
+    }),
+
     // Iceberg-analog schema-evolution gate: stage two snapshots of an
     // evolving table (adds, drops, safe numeric widenings, a breaking
     // retype — including INSIDE a struct and an array element) and diff
@@ -645,6 +669,36 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    // profile drift: per-side profiles as scalar subqueries over the
+    // same parity halves + planted lang nulls; thresholds applied to
+    // the UNROUNDED doubles exactly as the engine does
+    "drift_profile_documents" ->
+      Seq("lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS "column",
+           |  round(nrb, 6) AS null_rate_base,
+           |  round(nrc, 6) AS null_rate_cur,
+           |  round(abs(nrc - nrb), 6) AS null_rate_delta,
+           |  nvb AS ndv_base, nvc AS ndv_cur,
+           |  round(CAST(abs(nvc - nvb) AS DOUBLE) / greatest(nvb, 1), 6)
+           |    AS ndv_ratio_delta,
+           |  (abs(nrc - nrb) <= 0.05 AND
+           |   CAST(abs(nvc - nvb) AS DOUBLE) / greatest(nvb, 1) <= 0.5)
+           |    AS pass
+           |FROM (SELECT
+           |  (SELECT (count(*) - count($c)) / CAST(count(*) AS DOUBLE)
+           |     FROM bb) AS nrb,
+           |  (SELECT (count(*) - count($c)) / CAST(count(*) AS DOUBLE)
+           |     FROM cc) AS nrc,
+           |  (SELECT count(DISTINCT $c) FROM bb) AS nvb,
+           |  (SELECT count(DISTINCT $c) FROM cc) AS nvc)""".stripMargin
+      }.mkString(
+        """WITH bb AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          |cc AS (SELECT CASE WHEN n_chars % 3 = 0 THEN NULL ELSE lang
+          |    END AS lang, source, n_chars
+          |  FROM documents WHERE doc_id % 2 = 1)
+          |""".stripMargin,
+        "\nUNION ALL\n", "\nORDER BY \"column\""),
 
     // schema-evolution gate replayed structurally: leaf paths+types of
     // both staged snapshots from their parquet bytes, full-outer-joined;

@@ -48,6 +48,44 @@ object Stats {
     wide.select(explode(array(entries: _*)).as("s")).select("s.*")
   }
 
+  /** Snapshot-over-snapshot PROFILE drift — the anomaly gate a
+    * validation engine runs between pipeline runs (the null-rate /
+    * cardinality sibling of [[Drift]]'s distribution checks): per
+    * column, the absolute change in null rate and the relative change
+    * in distinct count, each against a threshold. ONE scan per side
+    * (the [[profile]] single-aggregation shape); the verdicts are pure
+    * functions of the two profiles, so exact mode replays bit-for-bit
+    * in SQL.
+    *
+    * null-rate delta is ABSOLUTE (rates live in [0,1] — a 0→0.3 jump
+    * matters the same at any baseline); ndv delta is RELATIVE
+    * (|cur−base| / max(base,1) — cardinality is scale-dependent). An
+    * EMPTY side yields NaN rates and fails the column (`pass` false):
+    * zero rows can't evidence "no drift", same stance as
+    * [[Drift.checkExact]]. */
+  def profileDrift(base: DataFrame, cur: DataFrame, cols: Seq[String],
+                   maxNullRateDelta: Double = 0.05,
+                   maxNdvRatioDelta: Double = 0.5,
+                   exact: Boolean = false): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      profile(df, cols, exact).select(col("column"),
+        // explicit NaN on an empty side (ANSI mode would throw on /0);
+        // NaN compares false against any threshold -> pass false
+        when(col("n_rows") === 0, lit(Double.NaN))
+          .otherwise(col("n_null").cast("double") / col("n_rows"))
+          .as(s"null_rate_$sfx"),
+        col("ndv").as(s"ndv_$sfx"))
+    side(base, "base").join(side(cur, "cur"), "column")
+      .withColumn("null_rate_delta",
+        abs(col("null_rate_cur") - col("null_rate_base")))
+      .withColumn("ndv_ratio_delta",
+        abs(col("ndv_cur") - col("ndv_base")).cast("double") /
+          greatest(col("ndv_base"), lit(1L)))
+      .withColumn("pass",
+        col("null_rate_delta") <= maxNullRateDelta &&
+          col("ndv_ratio_delta") <= maxNdvRatioDelta)
+  }
+
   /** log2 length histogram for a string column — the length-histogram
     * check (`north_star`): bucket = floor(log2(length)), one groupBy. */
   def lengthHistogram(df: DataFrame, c: String): DataFrame =

@@ -311,6 +311,30 @@ class EngineSpec extends SparkTestBase {
       s"resume after abort: processed=$p skipped=$s")
   }
 
+  test("profile drift: planted null-rate jump and ndv blowup fail their " +
+      "columns, stable columns pass, empty side fails") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => (s"v${i % 10}", s"w${i % 4}"))
+      .toDF("a", "b")
+    // a: 30% nulls planted (delta 0.3 > 0.05); b: ndv 4 -> 40 (ratio 9)
+    val cur = (1 to 200).map(i =>
+      (if (i % 10 < 3) null else s"v${i % 10}", s"w${i % 40}"))
+      .toDF("a", "b")
+    val got = Stats.profileDrift(base, cur, Seq("a", "b"), exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("null_rate_delta"),
+          r.getAs[Double]("ndv_ratio_delta"), r.getAs[Boolean]("pass")))
+      .toMap
+    assert(got("a")._1 == 0.3 && !got("a")._3)
+    assert(got("b")._2 == 9.0 && !got("b")._3)
+    // identical snapshots pass everywhere
+    assert(Stats.profileDrift(base, base, Seq("a", "b"), exact = true)
+      .collect().forall(_.getAs[Boolean]("pass")))
+    // an empty current side fails (NaN rate), never passes silently
+    assert(Stats.profileDrift(base, base.limit(0), Seq("a"), exact = true)
+      .collect().forall(!_.getAs[Boolean]("pass")))
+  }
+
   test("schema diff property: 200 random evolutions (drop/retype/add, " +
       "flat and nested) are reported exactly, with the widening law") {
     import org.apache.spark.sql.types._
