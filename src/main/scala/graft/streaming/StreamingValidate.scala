@@ -178,6 +178,42 @@ object StreamingValidate {
 
   /** streaming per-window pass/fail summary for event-timestamped
     * documents: watermarked tumbling-window aggregation. */
+  /** one (value, n, exact) entry of a per-window top-k list. */
+  final case class TopValue(value: String, n: Long, exact: Boolean)
+
+  /** Per-window heavy hitters: [[graft.engine.Stats.topValues]] as a
+    * streaming monitoring signal — one mergeable Misra-Gries sketch per
+    * event-time window (bounded state per window regardless of value
+    * cardinality, merged through the state store like any partial
+    * aggregate), finished to the top-k (value, estimate, exact) list.
+    * `exact` is the sketch's own no-purge guarantee — true means the
+    * estimates are true counts for that window. Same (n desc, value)
+    * tie-break as the batch path. Nulls are skipped (a null is a
+    * null-rate fact, not a value). */
+  def windowedTopValues(stream: DataFrame, valueCol: String,
+                        tsCol: String, window: String, watermark: String,
+                        k: Int = 3, maxMapSize: Int = 1024): DataFrame = {
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import org.apache.datasketches.memory.Memory
+    val agg = udaf(new graft.engine.Stats.FreqAgg(maxMapSize))
+    val top = udf((bytes: Array[Byte]) => {
+      val sk = ItemsSketch.getInstance(Memory.wrap(bytes),
+        new ArrayOfStringsSerDe)
+      val exact = sk.getMaximumError == 0
+      sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).toSeq
+        .map(r => (r.getItem, r.getEstimate))
+        .sortBy { case (v, est) => (-est, v) }
+        .take(k)
+        .map { case (v, est) => TopValue(v, est, exact) }
+    })
+    stream.select(col(tsCol), col(valueCol).cast("string").as("_v"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(agg(col("_v")).as("_sk"))
+      .select(col("window"), top(col("_sk")).as("top"))
+  }
+
   def windowedSummary(stream: DataFrame, contract: ObjectC,
                       tsCol: String, window: String,
                       watermark: String): DataFrame = {

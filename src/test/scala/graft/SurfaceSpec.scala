@@ -399,6 +399,37 @@ class SurfaceSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_failed")).sum == 1)
   }
 
+  test("streaming: windowed heavy hitters equal the batch topValues " +
+      "per closed window; nulls skipped") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "src")
+    val out = StreamingValidate.windowedTopValues(df, "src", "ts",
+      "10 minutes", "5 minutes", k = 2)
+    val q = out.writeStream.format("memory").queryName("wtv")
+      .outputMode("update").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // window 1 (10:00-10:10): a×3, b×2, c×1, one null; window 2: b×2
+    val w1 = Seq("a", "a", "b", "c", "a", "b", null)
+    mem.addData(w1.map(v => (ts(1), v)) ++ Seq((ts(12), "b"), (ts(13), "b")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wtv").collect()
+      .map(r => (r.getStruct(0).getTimestamp(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getString(0), x.getLong(1), x.getBoolean(2))).toSeq))
+      .toMap
+    assert(rows(ts(0)) == Seq(("a", 3L, true), ("b", 2L, true)))
+    assert(rows(ts(10)) == Seq(("b", 2L, true)))
+    // batch equivalence on window 1's values
+    val batch = graft.engine.Stats.topValues(
+      w1.toDF("src"), "src", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(4))).toSeq
+    assert(rows(ts(0)) == batch)
+  }
+
   test("streaming: windowed drift compares per-window KLL sketches " +
        "against a batch baseline (KS/PSI)") {
     val sqlCtx = spark.sqlContext
