@@ -122,6 +122,13 @@ object SparkEntry {
       Stats.topValues(t(s, dir, "documents"), "source", k = 3)
         .orderBy(col("n").desc, col("value"))),
 
+    // per-segment column stats: the same fused metric set grouped by
+    // lang — one grouped aggregation, one scan (exact audit mode)
+    "stats_documents_by_lang" -> ((s, dir) =>
+      Stats.profileBy(t(s, dir, "documents"), "lang",
+          Seq("doc_id", "source", "n_chars"), exact = true)
+        .orderBy("group", "column")),
+
     // length histogram (log2 buckets)
     "hist_doc_length" -> ((s, dir) =>
       Stats.lengthHistogram(t(s, dir, "documents"), "text")
@@ -902,6 +909,20 @@ object SparkEntry {
         |  count(*) AS n_ub, TRUE AS exact
         |FROM documents WHERE source IS NOT NULL
         |GROUP BY source ORDER BY n DESC, value LIMIT 3""".stripMargin,
+
+    // per-(lang, column) profile; NULLS FIRST matches Spark's asc
+    // null-ordering for a possibly-null group key
+    "stats_documents_by_lang" ->
+      Seq("doc_id", "source", "n_chars").map(c =>
+        s"""SELECT lang AS "group", '$c' AS "column",
+           |  count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS ndv,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM documents GROUP BY lang""".stripMargin)
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY \"group\" NULLS FIRST, \"column\""),
 
     "stats_documents" ->
       Seq("doc_id", "lang", "source", "n_chars").map(c =>

@@ -48,6 +48,37 @@ object Stats {
     wide.select(explode(array(entries: _*)).as("s")).select("s.*")
   }
 
+  /** [[profile]] segmented by a grouping column — per-segment column
+    * stats (per language, per source, per partition key…) in ONE
+    * grouped aggregation: same fused metric set, one scan, map-side
+    * partials per group; the row-per-(group, column) long shape is
+    * exploded AFTER aggregation (output is |groups| × |cols| —
+    * driver-small for profile-grade group counts). */
+  def profileBy(df: DataFrame, groupCol: String, cols: Seq[String],
+                exact: Boolean = false): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.groupBy(col(groupCol).as("group"))
+      .agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__ndv").as("ndv"),
+        col(s"${c}__min").as("min_s"),
+        col(s"${c}__max").as("max_s"))
+    }
+    wide.select(col("group"), explode(array(entries: _*)).as("s"))
+      .select(col("group"), col("s.*"))
+  }
+
   /** Snapshot-over-snapshot PROFILE drift — the anomaly gate a
     * validation engine runs between pipeline runs (the null-rate /
     * cardinality sibling of [[Drift]]'s distribution checks): per
