@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  def profile(df: DataFrame, cols: Seq[String],
-              exact: Boolean = false): DataFrame = {
-    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+  // the fused one-scan metric set, shared by the global and per-segment
+  // profiles so they cannot diverge (the per-segment rows are asserted
+  // equal to filtered global profiles in EngineSpec's profileBy law)
+  private def profileAggs(cols: Seq[String],
+                          exact: Boolean): Seq[org.apache.spark.sql.Column] =
+    Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
         (if (exact) countDistinct(col(c))
@@ -35,8 +38,10 @@ object Stats {
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val entries = cols.map { c =>
+
+  private def profileEntries(cols: Seq[String])
+      : Seq[org.apache.spark.sql.Column] =
+    cols.map { c =>
       struct(
         lit(c).as("column"),
         col("__n").as("n_rows"),
@@ -45,7 +50,14 @@ object Stats {
         col(s"${c}__min").as("min_s"),
         col(s"${c}__max").as("max_s"))
     }
-    wide.select(explode(array(entries: _*)).as("s")).select("s.*")
+
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
+    val aggs = profileAggs(cols, exact)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(profileEntries(cols): _*)).as("s"))
+      .select("s.*")
   }
 
   /** [[profile]] segmented by a grouping column — per-segment column
@@ -56,26 +68,12 @@ object Stats {
     * driver-small for profile-grade group counts). */
   def profileBy(df: DataFrame, groupCol: String, cols: Seq[String],
                 exact: Boolean = false): DataFrame = {
-    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"${c}__nn"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"${c}__ndv"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val wide = df.groupBy(col(groupCol).as("group"))
+    require(cols.nonEmpty, "profileBy requires at least one column")
+    val aggs = profileAggs(cols, exact)
+    df.groupBy(col(groupCol).as("group"))
       .agg(aggs.head, aggs.tail: _*)
-    val entries = cols.map { c =>
-      struct(
-        lit(c).as("column"),
-        col("__n").as("n_rows"),
-        (col("__n") - col(s"${c}__nn")).as("n_null"),
-        col(s"${c}__ndv").as("ndv"),
-        col(s"${c}__min").as("min_s"),
-        col(s"${c}__max").as("max_s"))
-    }
-    wide.select(col("group"), explode(array(entries: _*)).as("s"))
+      .select(col("group"),
+        explode(array(profileEntries(cols): _*)).as("s"))
       .select(col("group"), col("s.*"))
   }
 
@@ -98,6 +96,7 @@ object Stats {
                    maxNullRateDelta: Double = 0.05,
                    maxNdvRatioDelta: Double = 0.5,
                    exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profileDrift requires at least one column")
     def side(df: DataFrame, sfx: String) =
       profile(df, cols, exact).select(col("column"),
         // explicit NaN on an empty side (ANSI mode would throw on /0);
@@ -185,6 +184,28 @@ object Stats {
     ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
   }
 
+  /** finish a sketch to its top-k (value, estimate, lb, ub, exact)
+    * entries under the canonical (n desc, value) tie-break — the ONE
+    * definition shared by the batch [[topValues]] frame and the
+    * streaming per-window path, so their orderings and exactness rules
+    * cannot diverge. */
+  private def finishTop(sk: ItemsSketch[String], k: Int)
+      : Seq[(String, Long, Long, Long, Boolean)] = {
+    val exact = sk.getMaximumError == 0
+    sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).toSeq
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .sortBy { case (v, est, _, _) => (-est, v) }
+      .take(k)
+      .map { case (v, est, lb, ub) => (v, est, lb, ub, exact) }
+  }
+
+  /** [[finishTop]] from a serialized sketch (the shape streaming
+    * aggregation state hands back). */
+  def topEntries(bytes: Array[Byte], k: Int)
+      : Seq[(String, Long, Long, Long, Boolean)] =
+    finishTop(ItemsSketch.getInstance(Memory.wrap(bytes),
+      new ArrayOfStringsSerDe), k)
+
   /** top-k values of a column by (estimated) frequency, deterministic
     * tie-break on the value itself. Columns: value, n (estimate),
     * n_lb/n_ub (guaranteed bounds; lb = ub = n when the sketch stayed
@@ -192,13 +213,7 @@ object Stats {
     * result (≤ maxMapSize rows before the take). */
   def topValues(df: DataFrame, colName: String, k: Int,
                 maxMapSize: Int = 1024): DataFrame = {
-    val sk = frequencySketch(df, colName, maxMapSize)
-    val exact = sk.getMaximumError == 0
-    val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).toSeq
-      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
-      .sortBy { case (v, est, _, _) => (-est, v) }
-      .take(k)
-      .map { case (v, est, lb, ub) => (v, est, lb, ub, exact) }
+    val rows = finishTop(frequencySketch(df, colName, maxMapSize), k)
     val spark = df.sparkSession
     import spark.implicits._
     rows.toDF("value", "n", "n_lb", "n_ub", "exact")

@@ -176,8 +176,6 @@ object StreamingValidate {
           .as("pass"))
   }
 
-  /** streaming per-window pass/fail summary for event-timestamped
-    * documents: watermarked tumbling-window aggregation. */
   /** one (value, n, exact) entry of a per-window top-k list. */
   final case class TopValue(value: String, n: Long, exact: Boolean)
 
@@ -185,35 +183,29 @@ object StreamingValidate {
     * streaming monitoring signal — one mergeable Misra-Gries sketch per
     * event-time window (bounded state per window regardless of value
     * cardinality, merged through the state store like any partial
-    * aggregate), finished to the top-k (value, estimate, exact) list.
-    * `exact` is the sketch's own no-purge guarantee — true means the
-    * estimates are true counts for that window. Same (n desc, value)
-    * tie-break as the batch path. Nulls are skipped (a null is a
-    * null-rate fact, not a value). */
+    * aggregate), finished to the top-k (value, estimate, exact) list by
+    * the SAME [[graft.engine.Stats.topEntries]] the batch path uses, so
+    * tie-break and exactness rules cannot diverge. Null values are
+    * filtered BEFORE the shuffle (a null is a null-rate fact, not a
+    * value — and an all-null window must emit nothing, like the batch
+    * path, not a phantom empty row). */
   def windowedTopValues(stream: DataFrame, valueCol: String,
                         tsCol: String, window: String, watermark: String,
                         k: Int = 3, maxMapSize: Int = 1024): DataFrame = {
-    import org.apache.datasketches.common.ArrayOfStringsSerDe
-    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
-    import org.apache.datasketches.memory.Memory
     val agg = udaf(new graft.engine.Stats.FreqAgg(maxMapSize))
-    val top = udf((bytes: Array[Byte]) => {
-      val sk = ItemsSketch.getInstance(Memory.wrap(bytes),
-        new ArrayOfStringsSerDe)
-      val exact = sk.getMaximumError == 0
-      sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).toSeq
-        .map(r => (r.getItem, r.getEstimate))
-        .sortBy { case (v, est) => (-est, v) }
-        .take(k)
-        .map { case (v, est) => TopValue(v, est, exact) }
-    })
+    val top = udf((bytes: Array[Byte]) =>
+      graft.engine.Stats.topEntries(bytes, k)
+        .map { case (v, est, _, _, exact) => TopValue(v, est, exact) })
     stream.select(col(tsCol), col(valueCol).cast("string").as("_v"))
+      .where(col("_v").isNotNull)
       .withWatermark(tsCol, watermark)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
       .agg(agg(col("_v")).as("_sk"))
       .select(col("window"), top(col("_sk")).as("top"))
   }
 
+  /** streaming per-window pass/fail summary for event-timestamped
+    * documents: watermarked tumbling-window aggregation. */
   def windowedSummary(stream: DataFrame, contract: ObjectC,
                       tsCol: String, window: String,
                       watermark: String): DataFrame = {

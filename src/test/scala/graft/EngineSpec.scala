@@ -311,6 +311,29 @@ class EngineSpec extends SparkTestBase {
       s"resume after abort: processed=$p skipped=$s")
   }
 
+  test("profileBy law: each group's row equals profile() of that " +
+      "group's filtered frame, incl. a null group key") {
+    import spark.implicits._
+    val df = Seq(("en", "a", 1L), ("en", null, 2L), ("de", "b", 3L),
+      ("de", "b", 4L), (null, "c", 5L), ("en", "a", 6L))
+      .toDF("g", "s", "n")
+    val by = Stats.profileBy(df, "g", Seq("s", "n"), exact = true)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5),
+          r.getString(6))).toMap
+    for (g <- Seq(Some("en"), Some("de"), None)) {
+      val part = df.where(if (g.isDefined) col("g") === g.get
+                          else col("g").isNull)
+      val direct = Stats.profile(part, Seq("s", "n"), exact = true)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+            r.getString(5))).toMap
+      for (c <- Seq("s", "n"))
+        assert(by((g, c)) == direct(c), s"group=$g col=$c")
+    }
+    assert(by.size == 6) // 3 groups x 2 cols, no phantom rows
+  }
+
   test("profile drift: planted null-rate jump and ndv blowup fail their " +
       "columns, stable columns pass, empty side fails") {
     import spark.implicits._

@@ -411,9 +411,11 @@ class SurfaceSpec extends SparkTestBase {
     val q = out.writeStream.format("memory").queryName("wtv")
       .outputMode("update").start()
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
-    // window 1 (10:00-10:10): a×3, b×2, c×1, one null; window 2: b×2
+    // window 1 (10:00-10:10): a×3, b×2, c×1, one null; window 2: b×2;
+    // window 3 (10:20-10:30): ONLY nulls — must emit no row at all
     val w1 = Seq("a", "a", "b", "c", "a", "b", null)
-    mem.addData(w1.map(v => (ts(1), v)) ++ Seq((ts(12), "b"), (ts(13), "b")): _*)
+    mem.addData(w1.map(v => (ts(1), v)) ++
+      Seq((ts(12), "b"), (ts(13), "b"), (ts(22), null), (ts(23), null)): _*)
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("wtv").collect()
@@ -423,6 +425,7 @@ class SurfaceSpec extends SparkTestBase {
       .toMap
     assert(rows(ts(0)) == Seq(("a", 3L, true), ("b", 2L, true)))
     assert(rows(ts(10)) == Seq(("b", 2L, true)))
+    assert(rows.size == 2, "an all-null window must not emit a row")
     // batch equivalence on window 1's values
     val batch = graft.engine.Stats.topValues(
       w1.toDF("src"), "src", k = 2).collect()
