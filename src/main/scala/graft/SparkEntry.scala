@@ -553,7 +553,8 @@ object SparkEntry {
         col("id").cast("float").as("score"),
         struct(lit("en").as("lang"), lit("s1").as("src")).as("meta"),
         array(col("id").cast("int"), lit(2)).as("tags"),
-        lit("src1").as("source"))
+        lit("src1").as("source"),
+        to_date(lit("2026-01-01")).as("ingested"))
       val v2 = base.select(
         col("id").as("doc_id"),
         concat(lit("t"), col("id")).as("text"),
@@ -563,7 +564,8 @@ object SparkEntry {
           lit(3).as("src"),                     // string -> int (BREAKING)
           lit("eu").as("region")).as("meta"),   // added nested field
         array(col("id"), lit(2L)).as("tags"),   // element int -> bigint
-        lit("cc").as("license"))                // added; `source` dropped
+        lit("cc").as("license"),                // added; `source` dropped
+        lit("2026-01-01").as("ingested"))       // date -> string (BREAKING)
       v1.coalesce(1).write.mode("overwrite").parquet(s"$g/schema_v1")
       v2.coalesce(1).write.mode("overwrite").parquet(s"$g/schema_v2")
       engine.SchemaEvolution.diff(
