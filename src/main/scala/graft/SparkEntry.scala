@@ -402,6 +402,49 @@ object SparkEntry {
           greatest(size(toks), lit(1)) >= 0.35)))
     }),
 
+    // per-doc top-3 salient terms by TF-IDF (rounded before ranking so
+    // rank order is float-stable across engines; term asc tie-break)
+    "text_tfidf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      pipeline.TextAnalysis.tfidfTopK(d, "doc_id", "text", k = 3,
+          nDocs = d.count())
+        .orderBy("id", "term_rank")
+    }),
+
+    // vocabulary induction: dense ids by (count desc, term asc), two-
+    // phase histogram-offset rank (ids provably equal the single-window
+    // form; VocabSpec pins it)
+    "vocab_build" -> ((s, dir) =>
+      pipeline.TextAnalysis.buildVocab(t(s, dir, "documents"), "text",
+          minCount = 2)
+        .orderBy("vocab_id")),
+
+    // PII scrub: the synthetic corpus carries no PII, so a suffix of
+    // emails / IPv4s / phones is planted as a pure function of doc_id
+    // that the oracle rebuilds byte-identically — counts AND redacted
+    // text are hash-compared (regexes are Java/RE2-portable; see Pii)
+    "pii_scrub" -> ((s, dir) =>
+      pipeline.Pii.scrub(withPlantedPii(t(s, dir, "documents")),
+          "doc_id", "pii_text")
+        .orderBy("id")),
+
+    // training-sequence packing: concat-and-chunk into 256-token
+    // sequences within 8 deterministic shards (doc_id % 8 here so the
+    // oracle replays the shard map; production default hashes the id)
+    "pack_sequences" -> ((s, dir) =>
+      pipeline.Packing.packSequences(t(s, dir, "documents"),
+          "doc_id", "text", seqLen = 256, nShards = 8,
+          shardExpr = Some(pmod(col("doc_id"), lit(8))))
+        .orderBy("shard", "seq_id", "id")),
+
+    // substring-level duplication: fraction of each doc's tokens
+    // covered by an 8-gram occurring >= 2x in the corpus (interval
+    // union via one lead-window — no k-fold position explode)
+    "dedup_span_coverage" -> ((s, dir) =>
+      pipeline.Dedup.duplicateSpanCoverage(t(s, dir, "documents"),
+          "doc_id", "text", k = 8)
+        .orderBy("id")),
+
     // near-dup pairs → canonical components (alternating large-star /
     // small-star, O(log n) shuffle rounds); the pair list is staged so
     // the oracle replays reachability with a recursive CTE over the
@@ -587,6 +630,61 @@ object SparkEntry {
       broadcast(ev.select(col("eval_id").as("doc_id"))),
       Seq("doc_id"), "left_anti")
     (train, ev)
+  }
+
+  // planted PII as a pure function of doc_id (the word-salad corpus
+  // has none): doc_id%3 → email, %4 → IPv4, %5 → phone; composites
+  // (12, 15, 20, 60) exercise multi-type rows and scrub ordering. One
+  // definition feeding both the query and the generated oracle SQL.
+  private def withPlantedPii(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def m(n: Int) = pmod(id, lit(n))
+    docs.withColumn("pii_text", concat(col("text"),
+      when(m(3) === 0, concat(lit(" contact user"),
+        id.cast("string"), lit("@mail-"), m(7).cast("string"),
+        lit(".example.com"))).otherwise(lit("")),
+      when(m(4) === 0, concat(lit(" from 10."),
+        m(256).cast("string"), lit(".0."),
+        m(100).cast("string"), lit(" logged")))
+        .otherwise(lit("")),
+      when(m(5) === 0, concat(lit(" call +1 (555) 867-"),
+        lpad(m(10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))))
+  }
+
+  // the same construction in DuckDB SQL, literals generated from
+  // Pii.patterns so the two engines cannot drift
+  private val piiScrubSql = {
+    val Seq((_, reEmail, rpEmail), (_, reIp, rpIp), (_, rePh, rpPh)) =
+      pipeline.Pii.patterns
+    s"""WITH p AS (
+       |  SELECT doc_id AS id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+       |      CAST(doc_id AS VARCHAR) || '@mail-' ||
+       |      CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' ||
+       |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+       |      CAST(doc_id % 100 AS VARCHAR) || ' logged'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 867-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      ELSE '' END AS t0
+       |  FROM documents),
+       |s1 AS (SELECT id,
+       |  len(regexp_extract_all(t0, '$reEmail')) AS n_email,
+       |  regexp_replace(t0, '$reEmail', '$rpEmail', 'g') AS t1 FROM p),
+       |s2 AS (SELECT id, n_email,
+       |  len(regexp_extract_all(t1, '$reIp')) AS n_ipv4,
+       |  regexp_replace(t1, '$reIp', '$rpIp', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT id, n_email, n_ipv4,
+       |  len(regexp_extract_all(t2, '$rePh')) AS n_phone,
+       |  regexp_replace(t2, '$rePh', '$rpPh', 'g') AS clean_text
+       |  FROM s2)
+       |SELECT id, n_email, n_ipv4, n_phone, clean_text,
+       |  n_email + n_ipv4 + n_phone AS n_pii,
+       |  (n_email + n_ipv4 + n_phone) > 0 AS is_dirty
+       |FROM s3 ORDER BY id""".stripMargin
   }
 
   // shared by ref_lineitem_part and its keys-path twin
@@ -1233,6 +1331,90 @@ object SparkEntry {
          |  count(CASE WHEN k0 AND k1 AND k2 AND k3 THEN 1 END),
          |  count(CASE WHEN k0 AND k1 AND k2 AND k3 THEN 1 END) FROM f
          |ORDER BY rule_idx""".stripMargin
+    },
+
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM tok
+        |  GROUP BY id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.id, tf.term, tf.tf, dfq.df,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 4) AS tfidf
+        |  FROM tf, dfq, n WHERE tf.term = dfq.term),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY tfidf DESC, term) AS term_rank FROM sc)
+        |SELECT id, term_rank, term, tf, df, tfidf FROM rk
+        |WHERE term_rank <= 3 ORDER BY id, term_rank""".stripMargin,
+
+    "vocab_build" ->
+      """WITH tc AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY term HAVING count(*) >= 2)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, term) AS vocab_id,
+        |  term, cnt
+        |FROM tc ORDER BY vocab_id""".stripMargin,
+
+    "pii_scrub" -> piiScrubSql,
+
+    // concat-and-chunk packing replay: same shard map (doc_id % 8),
+    // same running-offset window, same slice arithmetic
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, doc_id % 8 AS shard,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard
+        |    ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) AS BIGINT) AS off0
+        |  FROM d),
+        |e AS (
+        |  SELECT shard, id, n_tok, off0,
+        |    unnest(range(off0 // 256, (off0 + n_tok - 1) // 256 + 1))
+        |      AS seq_id
+        |  FROM c)
+        |SELECT shard, seq_id, id,
+        |  greatest(seq_id * 256 - off0, 0) AS tok_start,
+        |  least((seq_id + 1) * 256 - off0, n_tok) AS tok_end,
+        |  least((seq_id + 1) * 256 - off0, n_tok) -
+        |    greatest(seq_id * 256 - off0, 0) AS n_toks,
+        |  off0 + greatest(seq_id * 256 - off0, 0) - seq_id * 256
+        |    AS seq_off
+        |FROM e ORDER BY shard, seq_id, id""".stripMargin,
+
+    // positional 8-grams (same slice idiom as the decontam oracle),
+    // corpus-frequency >= 2, interval union via one lead window
+    "dedup_span_coverage" -> {
+      val g8 = (0 to 7).map(j => s"ts[u.i+$j]").mkString(" || ' ' || ")
+      s"""WITH tk AS (
+         |  SELECT doc_id AS id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |occ AS (
+         |  SELECT id, u.i - 1 AS pos, $g8 AS g
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(ts) - 6))
+         |    AS i) u),
+         |dg AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+         |dp AS (SELECT id, pos FROM occ JOIN dg USING (g)),
+         |ct AS (SELECT id, LEAST(8, COALESCE(LEAD(pos) OVER (
+         |    PARTITION BY id ORDER BY pos) - pos, 8)) AS contrib
+         |  FROM dp),
+         |cv AS (SELECT id, count(*) AS n_dup_starts,
+         |    SUM(contrib) AS covered_tokens
+         |  FROM ct GROUP BY id)
+         |SELECT tk.id, len(tk.ts) AS n_tokens,
+         |  CAST(COALESCE(cv.n_dup_starts, 0) AS BIGINT)
+         |    AS n_dup_starts,
+         |  CAST(COALESCE(cv.covered_tokens, 0) AS BIGINT)
+         |    AS covered_tokens,
+         |  round(COALESCE(cv.covered_tokens, 0) * 1.0 /
+         |    greatest(len(tk.ts), 1), 4) AS dup_coverage
+         |FROM tk LEFT JOIN cv ON tk.id = cv.id
+         |ORDER BY tk.id""".stripMargin
     },
 
     // reachability over the STAGED pair list (min reachable id per

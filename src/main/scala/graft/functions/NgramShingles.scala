@@ -26,8 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (UTF8String regex split, limit -1 — trailing empty tokens kept) so
   * swapping this in changes no oracle output. Fewer than n tokens ⇒
   * empty array; null text ⇒ null.
+  *
+  * `distinct = false` keeps EVERY window in positional order (array
+  * index i = gram starting at token i), for operators that need gram
+  * positions — posexplode over it yields (pos, gram) directly.
   */
-case class NgramShingles(child: Expression, n: Int)
+case class NgramShingles(child: Expression, n: Int,
+                         distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, "shingle length must be >= 1")
@@ -44,12 +49,13 @@ case class NgramShingles(child: Expression, n: Int)
         s"ngram_shingles requires string, got ${child.dataType.sql}")
 
   override def nullSafeEval(t: Any): Any =
-    NgramShingles.compute(t.asInstanceOf[UTF8String], n)
+    NgramShingles.compute(t.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.NgramShingles.compute($t, $n);")
+      s"${ev.value} = graft.functions.NgramShingles.compute($t, $n, " +
+        s"$distinct);")
 
   override protected def withNewChildInternal(
       newChild: Expression): NgramShingles = copy(child = newChild)
@@ -61,28 +67,46 @@ object NgramShingles {
   private val SpaceSep = UTF8String.fromString(" ")
 
   /** static so generated code can call it: one compiled walk per row. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     // same split as Spark SQL's split(text, ' '): regex, limit -1
     val toks = text.split(SpaceSep, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](
-      math.max(8, toks.length * 2))
-    var i = 0
+    val m = toks.length - n + 1
     val window = new Array[UTF8String](2 * n - 1)
     var j = 1
     while (j < 2 * n - 1) { window(j) = SpaceSep; j += 2 }
-    while (i + n <= toks.length) {
-      j = 0
-      while (j < n) { window(2 * j) = toks(i + j); j += 1 }
-      seen.add(UTF8String.concat(window: _*))
-      i += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](
+        math.max(8, toks.length * 2))
+      var i = 0
+      while (i < m) {
+        j = 0
+        while (j < n) { window(2 * j) = toks(i + j); j += 1 }
+        seen.add(UTF8String.concat(window: _*))
+        i += 1
+      }
+      new GenericArrayData(
+        seen.toArray(new Array[UTF8String](seen.size))
+          .asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+    } else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        j = 0
+        while (j < n) { window(2 * j) = toks(i + j); j += 1 }
+        out(i) = UTF8String.concat(window: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(
-      seen.toArray(new Array[UTF8String](seen.size))
-        .asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
 
   /** Column API: distinct space-joined word n-grams of `text`. */
   def ngrams(text: Column, n: Int): Column =
     column(NgramShingles(expression(text), n))
+
+  /** Column API: ALL word n-grams in positional order (index = start
+    * token position, 0-based). */
+  def ngramsPositional(text: Column, n: Int): Column =
+    column(NgramShingles(expression(text), n, distinct = false))
 }

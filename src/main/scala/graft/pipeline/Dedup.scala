@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for large-scale training-data pipelines: exact,
@@ -395,5 +396,59 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Substring-level duplication coverage (the Lee et al., ACL'22
+    * "Deduplicating Training Data" family): for each document, the
+    * fraction of its token positions covered by a word k-gram that
+    * occurs ≥ 2 times in the corpus (any document, including repeats
+    * within this one). High coverage flags boilerplate — a document
+    * can be globally unique yet 90% built from duplicated spans, which
+    * document-level dedup (minhash/simhash) cannot see.
+    *
+    * Shape, built for 10¹² docs: positional k-grams via the compiled
+    * [[graft.functions.NgramShingles]] walk (index = start position),
+    * ONE aggregation on gram (map-side partial count — the frequency
+    * table), one shuffle join back to occurrences, then a per-document
+    * interval union computed with a single `lead` window — NOT by
+    * exploding each k-gram into its k covered positions (a k× row
+    * blowup): duplicated starts sorted ascending cover
+    * `min(k, next_start - start)` new tokens each, k for the last, so
+    * the union length is one windowed sum over |duplicated starts|
+    * rows. `hashGrams` joins on xxhash64(gram) instead of the gram
+    * string — at k=8 a gram is ~50 bytes vs 8, so the shuffle shrinks
+    * ~6×; collisions can only ADD coverage (two distinct grams
+    * colliding count as duplicated) at ~n²/2⁶⁴ expected extra pairs —
+    * off by default, on at scale (DedupSpec pins hashed ≡ exact here).
+    */
+  def duplicateSpanCoverage(df: DataFrame, idCol: String,
+                            textCol: String, k: Int = 8,
+                            hashGrams: Boolean = false): DataFrame = {
+    val occ = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.NgramShingles.ngramsPositional(
+          col(textCol), k)))
+      .select(col("id"), col("pos"),
+        (if (hashGrams) xxhash64(col("col")) else col("col")).as("g"))
+    // corpus-frequency table; duplicated = total occurrences >= 2
+    val dupG = occ.groupBy("g").agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2).select("g")
+    val dupPos = occ.join(dupG, "g").select("id", "pos")
+    // union of [pos, pos+k) intervals per doc: sorted starts each
+    // contribute min(k, nextStart - start); the last contributes k
+    val w = Window.partitionBy("id").orderBy("pos")
+    val covered = dupPos
+      .withColumn("contrib", least(lit(k.toLong),
+        coalesce(lead(col("pos"), 1).over(w) - col("pos"),
+          lit(k.toLong))))
+      .groupBy("id").agg(count(lit(1)).as("n_dup_starts"),
+        sum("contrib").as("covered_tokens"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("bigint").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)), 4).as("dup_coverage"))
   }
 }

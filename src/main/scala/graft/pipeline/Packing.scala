@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: concatenate documents (in a deterministic
+  * order) and split the token stream into fixed-length sequences — the
+  * "concat-and-chunk" step that turns a filtered corpus into model
+  * input windows. Emits one row per (sequence × document-slice): which
+  * token range of which doc lands at which offset of which sequence.
+  *
+  * Scale shape: packing is inherently sequential, so the corpus is
+  * first split into `nShards` independent shards and each shard packs
+  * its own token stream — ONE shuffle (hash-partition by shard), one
+  * window (running token offset per shard), then a row-local explode
+  * of each doc into the ≤ 1 + nTok/seqLen sequences it spans. Choose
+  * nShards so a shard's documents fit a task comfortably (at 10¹²
+  * docs: nShards ~ 10⁵-10⁶ ⇒ ~10⁶-10⁷ docs per window partition);
+  * sequences are globally identified by (shard, seq_id) so no
+  * cross-shard coordination exists at any size. The last sequence per
+  * shard is ragged (padding/drop policy is the trainer's call — the
+  * operator reports exact slice geometry and takes no policy).
+  *
+  * Determinism: shard assignment and within-shard order are pure
+  * functions of the id column, so a retried task, a resumed job, and
+  * an external replayer (the DuckDB oracle) produce byte-identical
+  * packing. The default shard expression hashes the id
+  * (`pmod(xxhash64(id), nShards)`) to stay balanced under clustered
+  * ids; pass `shardExpr` to override (tests and the oracle use
+  * `id % nShards`, replayable in any engine).
+  */
+object Packing {
+
+  /** pack whitespace-token streams into `seqLen`-token sequences within
+    * `nShards` deterministic shards. Output: one row per document-slice
+    * — (shard, seq_id, id, tok_start, tok_end) with tok_end exclusive,
+    * n_toks = slice length, seq_off = where the slice begins inside
+    * the sequence. Every token of every doc appears in exactly one
+    * slice; every sequence except a shard's last holds exactly seqLen
+    * tokens. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, nShards: Int,
+                    shardExpr: Option[Column] = None): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    require(nShards >= 1, "nShards must be >= 1")
+    val shard = shardExpr.getOrElse(
+      pmod(xxhash64(col(idCol)), lit(nShards)))
+    val L = lit(seqLen.toLong)
+    // the base projection renames idCol to `id` — order by the alias
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    val base = df.select(col(idCol).as("id"),
+        shard.cast("bigint").as("shard"),
+        size(split(col(textCol), " ")).cast("bigint").as("n_tok"))
+      // running token offset of this doc inside its shard's stream
+      .withColumn("off0", coalesce(
+        sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding,
+          -1)), lit(0L)))
+    val tokStart = greatest(col("seq_id") * L - col("off0"), lit(0L))
+    val tokEnd = least((col("seq_id") + 1) * L - col("off0"),
+      col("n_tok"))
+    base
+      // sequences this doc spans: floor(off0/L) .. floor((off0+n-1)/L)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("off0") / L),
+        floor((col("off0") + col("n_tok") - 1) / L))))
+      .select(col("shard"), col("seq_id"), col("id"),
+        tokStart.as("tok_start"), tokEnd.as("tok_end"),
+        (tokEnd - tokStart).as("n_toks"),
+        // offset of the slice inside its sequence: where in [0, L)
+        // this doc-slice's first token lands
+        (col("off0") + tokStart - col("seq_id") * L).as("seq_off"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID
@@ -161,5 +162,71 @@ object TextAnalysis {
     chars.groupBy("id")
       .agg(sum(ascii(col("ch")) * (pmod(col("pos"), lit(97)) + 1))
         .as("fingerprint"))
+  }
+
+  /** per-doc top-k salient terms by TF-IDF — the corpus-weighted term
+    * profile used for topic balancing / near-dup triage in training
+    * mixes. score = tf · ln(N / df), ROUNDED(4) before ranking so the
+    * rank order (score desc, term asc) is float-stable across engines.
+    *
+    * Scale shape: one token explode → (doc, term) count with map-side
+    * partial combine; the document-frequency table is vocab-sized, so
+    * it joins back per-term — hash-shuffle on term by default, which
+    * AQE converts to broadcast when vocab fits (natural-language vocab
+    * follows Zipf: even a 100 TB crawl is ~10⁷-10⁸ distinct terms,
+    * usually broadcastable after the df agg). The top-k window
+    * partitions by doc — bounded by per-doc vocab, never corpus-sized.
+    * `nDocs` is passed in (callers know it or pay one count job) so
+    * the operator itself stays a single lazy plan. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int, nDocs: Long): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).as("df")) // tf rows are distinct (id, term)
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") *
+        log(lit(nDocs.toDouble) / col("df")), 4))
+    val w = Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w))
+      .where(col("term_rank") <= k)
+      .select("id", "term_rank", "term", "tf", "df", "tfidf")
+  }
+
+  /** Vocabulary induction: dense ids 1..V assigned by (count desc,
+    * term asc) over all corpus terms with count ≥ minCount — the
+    * tokenizer-training step (word-level BPE seeding, embedding-table
+    * layout) of a training pipeline.
+    *
+    * The id is a GLOBAL dense rank, which a naive `row_number()` over
+    * an unpartitioned window serializes through one task. Built
+    * two-phase instead: (1) the count histogram (distinct count
+    * values — thousands, Zipf) gets cumulative offsets via a window
+    * over that tiny table; (2) terms rank WITHIN their count value
+    * (parallel across count values) and add the offset. Identical ids
+    * to the single-window form (VocabSpec pins it), but the only
+    * single-task window runs over the histogram, not the vocabulary;
+    * the widest real partition is the largest same-count cohort (the
+    * minCount cohort — at a 100 TB crawl with minCount 5, ~10⁶ terms:
+    * one task sorts megabytes, not the 10⁷-term vocabulary). */
+  def buildVocab(df: DataFrame, textCol: String,
+                 minCount: Long = 1L): DataFrame = {
+    val tc = df.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    // (1) per-count cohort sizes → running offset of each cohort
+    val hw = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tc.groupBy("cnt").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(hw), lit(0L)))
+      .select("cnt", "_off")
+    // (2) rank within cohort (parallel across counts) + cohort offset
+    val cw = Window.partitionBy("cnt").orderBy("term")
+    tc.join(offsets, "cnt")
+      .withColumn("vocab_id",
+        col("_off") + row_number().over(cw).cast("long"))
+      .select("vocab_id", "term", "cnt")
   }
 }

@@ -204,6 +204,31 @@ object StreamingValidate {
       .select(col("window"), top(col("_sk")).as("top"))
   }
 
+  /** Per-window PII exposure monitor: the batch [[graft.pipeline.Pii]]
+    * patterns counted per event-time window — an ingest gate ("this
+    * hour's crawl suddenly carries emails") rather than a per-doc
+    * scrub. Stateless per-row regex counts (codegen'd, linear-time
+    * RE2-portable patterns) feeding one watermarked tumbling-window
+    * aggregation; state is O(windows), never O(docs). */
+  def windowedPiiStats(stream: DataFrame, textCol: String,
+                       tsCol: String, window: String,
+                       watermark: String): DataFrame = {
+    val (counts, _) = graft.pipeline.Pii.countColumns(col(textCol))
+    val counted = stream
+      .select(col(tsCol) +: counts: _*)
+      .select(col(tsCol), graft.pipeline.Pii.totalCol.as("n_pii"))
+      .withColumn("is_dirty", col("n_pii") > 0)
+    counted
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_pii").cast("long")).as("n_pii"),
+        sum(when(col("is_dirty"), 1L).otherwise(0L)).as("n_dirty"))
+      .withColumn("dirty_frac",
+        round(col("n_dirty").cast("double") /
+          greatest(col("n_docs"), lit(1L)), 4))
+  }
+
   /** streaming per-window pass/fail summary for event-timestamped
     * documents: watermarked tumbling-window aggregation. */
   def windowedSummary(stream: DataFrame, contract: ObjectC,

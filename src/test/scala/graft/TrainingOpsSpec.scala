@@ -1,0 +1,228 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** New training-pipeline operators: PII scrub, sequence packing,
+  * substring-duplication coverage. Each also has a DuckDB oracle row
+  * (pii_scrub / pack_sequences / dedup_span_coverage); these tests pin
+  * the operator-level invariants the oracle cannot express. */
+class TrainingOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  // ---- PII ----
+
+  test("pii: plants are detected by type, redacted text carries no " +
+       "residual match") {
+    val rows = Seq(
+      (1L, "write me at a.b+c@sub.example.org today"),
+      (2L, "server 192.168.0.17 answered"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "a.b+c@x.io and 10.0.0.1 and +44 (020) 555-0199"),
+      (5L, "nothing here"),
+      (6L, "almost an ip 1.2.3 and almost a mail a@b")
+    ).toDF("doc_id", "text")
+    val out = Pii.scrub(rows, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_email") == 1)
+    assert(out(2L).getAs[Int]("n_ipv4") == 1)
+    assert(out(3L).getAs[Int]("n_phone") == 1)
+    assert(out(4L).getAs[Int]("n_pii") == 3)
+    assert(out(5L).getAs[Int]("n_pii") == 0 &&
+      !out(5L).getAs[Boolean]("is_dirty"))
+    assert(out(6L).getAs[Int]("n_pii") == 0)
+    assert(out(4L).getAs[String]("clean_text") ==
+      "<EMAIL> and <IP> and <PHONE>")
+    // no pattern matches anything in any scrubbed output
+    val clean = Pii.scrub(rows, "doc_id", "text")
+      .select(col("clean_text").as("text"), col("id").as("doc_id"))
+    val rescrub = Pii.scrub(clean, "doc_id", "text").collect()
+    assert(rescrub.forall(_.getAs[Int]("n_pii") == 0))
+  }
+
+  test("pii: report aggregates totals and dirty-doc counts") {
+    val rows = Seq(
+      (1L, "a@b.co and c@d.io"), (2L, "10.0.0.1"), (3L, "clean")
+    ).toDF("doc_id", "text")
+    val r = Pii.report(rows, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("total_email") == 2L)
+    assert(r.getAs[Long]("docs_email") == 1L)
+    assert(r.getAs[Long]("total_ipv4") == 1L)
+    assert(r.getAs[Long]("docs_dirty") == 2L)
+  }
+
+  // ---- packing ----
+
+  test("packing: every token packed exactly once, sequences full " +
+       "except each shard's last") {
+    val packed = Packing.packSequences(docs, "doc_id", "text",
+      seqLen = 64, nShards = 4).cache()
+    val nTokens = docs.select(sum(size(split(col("text"), " "))))
+      .as[Long].head()
+    // total slice tokens == total corpus tokens (nothing lost/dup'd)
+    assert(packed.select(sum("n_toks")).as[Long].head() == nTokens)
+    // slices of one doc are disjoint and contiguous from 0..n_tok
+    val perDoc = packed.groupBy("id").agg(
+      sum("n_toks").as("tot"), min("tok_start").as("lo"))
+      .join(docs.select(col("doc_id").as("id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), "id")
+    assert(perDoc.where(col("tot") =!= col("n_tok") ||
+      col("lo") =!= 0L).isEmpty)
+    // every sequence except each shard's max seq_id holds exactly 64
+    val seqTot = packed.groupBy("shard", "seq_id")
+      .agg(sum("n_toks").as("seq_tok"))
+    val lastSeq = seqTot.groupBy("shard")
+      .agg(max("seq_id").as("last_id"))
+    assert(seqTot.join(lastSeq, "shard")
+      .where(col("seq_id") =!= col("last_id") &&
+        col("seq_tok") =!= 64L).isEmpty)
+    // slice offsets tile each sequence: min seq_off = 0, slices abut
+    val bad = packed.withColumn("next_off",
+        lead(col("seq_off"), 1).over(org.apache.spark.sql.expressions
+          .Window.partitionBy("shard", "seq_id").orderBy("seq_off")))
+      .where(col("next_off").isNotNull &&
+        col("next_off") =!= col("seq_off") + col("n_toks"))
+    assert(bad.isEmpty)
+    packed.unpersist()
+  }
+
+  test("packing: default hashed shard map keeps the same invariants") {
+    val packed = Packing.packSequences(docs.limit(200), "doc_id",
+      "text", seqLen = 128, nShards = 4)
+    val nTokens = docs.limit(200)
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(packed.select(sum("n_toks")).as[Long].head() == nTokens)
+    assert(packed.select(countDistinct("shard")).as[Long].head() > 1L)
+  }
+
+  // ---- substring duplication coverage ----
+
+  test("span coverage: hand-computed interval union") {
+    // doc 1 and 2 share the 4-gram "a b c d" (pos 0 and pos 1); doc 1
+    // also repeats it internally at pos 4 (overlapping coverage)
+    val rows = Seq(
+      (1L, "a b c d a b c d x"), // dup 4-grams at 0,4 (+1? "b c d a" also x2)
+      (2L, "z a b c d y q r s"), // dup at pos 1
+      (3L, "entirely unique words only here now ok fine")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanCoverage(rows, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // doc1: "a b c d" at 0 and 4; "b c d a" at 1; "c d a b" at 2;
+    // "d a b c" at 3 occur once each within doc1... but "a b c d" twice
+    // + shared with doc2 → dup starts {0,4}; union covers [0,4)+[4,8)=8
+    assert(out(1L).getAs[Long]("covered_tokens") == 8L)
+    assert(out(1L).getAs[Double]("dup_coverage") == 0.8889)
+    assert(out(2L).getAs[Long]("covered_tokens") == 4L)
+    assert(out(3L).getAs[Long]("covered_tokens") == 0L)
+    assert(out(3L).getAs[Double]("dup_coverage") == 0.0)
+  }
+
+  test("span coverage: hashed-gram path ≡ exact strings on real docs") {
+    val exact = Dedup.duplicateSpanCoverage(docs, "doc_id", "text", 8)
+      .orderBy("id").collect()
+    val hashed = Dedup.duplicateSpanCoverage(docs, "doc_id", "text", 8,
+      hashGrams = true).orderBy("id").collect()
+    assert(exact.sameElements(hashed))
+    // the sf corpus has near-dups → some doc has nonzero coverage
+    assert(exact.exists(_.getAs[Long]("covered_tokens") > 0L))
+  }
+
+  // ---- tf-idf ----
+
+  test("tfidf: hand-computed scores, rank order, corpus-wide term drop") {
+    val rows = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple date date date")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(rows, "doc_id", "text", k = 2,
+      nDocs = 3L).collect()
+      .groupBy(_.getAs[Long]("id")).view.mapValues(
+        _.sortBy(_.getAs[Int]("term_rank"))).toMap
+    // doc1: apple tf=2 df=2 → 2*ln(1.5)=0.8109; banana tf=1 df=2 →
+    // 0.4055; cherry tf=1 df=2 → 0.4055 (banana wins tie by term asc)
+    assert(out(1L)(0).getAs[String]("term") == "apple")
+    assert(out(1L)(0).getAs[Double]("tfidf") == 0.8109)
+    assert(out(1L)(1).getAs[String]("term") == "banana")
+    // doc3: date tf=3 df=2 → 1.2164 beats apple 0.4055
+    assert(out(3L)(0).getAs[String]("term") == "date")
+    assert(out(3L)(0).getAs[Double]("tfidf") == 1.2164)
+    // a term present in EVERY doc scores ln(1)=0 — never outranks
+    val rows2 = Seq((1L, "the cat"), (2L, "the dog")).toDF("doc_id",
+      "text")
+    val o2 = TextAnalysis.tfidfTopK(rows2, "doc_id", "text", 1, 2L)
+      .collect()
+    assert(o2.forall(_.getAs[String]("term") != "the"))
+  }
+
+  // ---- vocab ----
+
+  test("vocab: two-phase histogram rank ≡ single global window; " +
+       "minCount filters") {
+    import org.apache.spark.sql.expressions.Window
+    val built = TextAnalysis.buildVocab(docs, "text", minCount = 2)
+      .orderBy("vocab_id").collect()
+    // same ids as the naive single-partition window form
+    val tc = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+    val naive = tc.withColumn("vocab_id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      .select("vocab_id", "term", "cnt").orderBy("vocab_id").collect()
+    assert(built.sameElements(naive))
+    // dense 1..V, counts non-increasing, term-asc within equal counts
+    assert(built.head.getAs[Long]("vocab_id") == 1L)
+    assert(built.last.getAs[Long]("vocab_id") == built.length.toLong)
+    val cnts = built.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // minCount respected
+    assert(cnts.forall(_ >= 2L))
+  }
+
+  // ---- streaming PII ----
+
+  test("streaming: windowed PII stats count planted matches per " +
+       "window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sqlCtx = spark.sqlContext
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val out = graft.streaming.StreamingValidate.windowedPiiStats(df,
+      "text", "ts", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wpii")
+      .outputMode("update").start()
+    def ts(m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData(
+      (ts(1), "mail me x@y.io and 10.0.0.1"),
+      (ts(2), "clean text here"),
+      (ts(12), "call +1 (555) 123-4567"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wpii").collect()
+      .map(r => r.getStruct(0).getTimestamp(0) -> r).toMap
+    assert(rows(ts(0)).getAs[Long]("n_docs") == 2L)
+    assert(rows(ts(0)).getAs[Long]("n_pii") == 2L)
+    assert(rows(ts(0)).getAs[Long]("n_dirty") == 1L)
+    assert(rows(ts(0)).getAs[Double]("dirty_frac") == 0.5)
+    assert(rows(ts(10)).getAs[Long]("n_pii") == 1L)
+  }
+
+  test("positional ngrams: index equals start token position, " +
+       "distinct mode unchanged") {
+    val r = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+      .select(graft.functions.NgramShingles
+        .ngramsPositional(col("text"), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(r == Seq("a b", "b a", "a b", "b a"))
+    val d = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+      .select(graft.functions.NgramShingles.ngrams(col("text"), 2)
+        .as("g")).as[Seq[String]].head()
+    assert(d == Seq("a b", "b a"))
+  }
+}
