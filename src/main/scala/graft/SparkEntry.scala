@@ -419,6 +419,15 @@ object SparkEntry {
           minCount = 2)
         .orderBy("vocab_id")),
 
+    // URL canonicalization over planted crawl URLs (variant per
+    // doc_id%6: case, default ports, utm runs, trailing slash, one
+    // malformed row) — normalization steps replayed verbatim by the
+    // oracle from the same pattern constants
+    "url_normalize" -> ((s, dir) =>
+      pipeline.UrlNorm.normalize(
+          withPlantedUrl(t(s, dir, "documents")), "doc_id", "url")
+        .orderBy("id")),
+
     // PII scrub: the synthetic corpus carries no PII, so a suffix of
     // emails / IPv4s / phones is planted as a pure function of doc_id
     // that the oracle rebuilds byte-identically — counts AND redacted
@@ -633,43 +642,60 @@ object SparkEntry {
   }
 
   // planted PII as a pure function of doc_id (the word-salad corpus
-  // has none): doc_id%3 → email, %4 → IPv4, %5 → phone; composites
-  // (12, 15, 20, 60) exercise multi-type rows and scrub ordering. One
-  // definition feeding both the query and the generated oracle SQL.
+  // has none): each plant = (gate modulus, alternating string literal
+  // / modulus-of-doc_id segments). ONE spec drives both the Column
+  // expression and the generated oracle SQL, so the plant cannot
+  // drift between engines. Gates 3/4/5 → composites (12, 15, 20, 60)
+  // exercise multi-type rows and scrub ordering.
+  //   segment encoding: Left(literal) | Right(modulus); modulus 0
+  //   means the raw doc_id; phonePad pads the last phone segment.
+  private val piiPlants: Seq[(Int, Seq[Either[String, Int]])] = Seq(
+    3 -> Seq(Left(" contact user"), Right(0), Left("@mail-"), Right(7),
+      Left(".example.com")),
+    4 -> Seq(Left(" from 10."), Right(256), Left(".0."), Right(100),
+      Left(" logged")),
+    5 -> Seq(Left(" call +1 (555) 867-"), Right(10000)))
+  private val phonePad = 4
+
   private def withPlantedPii(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
-    def m(n: Int) = pmod(id, lit(n))
-    docs.withColumn("pii_text", concat(col("text"),
-      when(m(3) === 0, concat(lit(" contact user"),
-        id.cast("string"), lit("@mail-"), m(7).cast("string"),
-        lit(".example.com"))).otherwise(lit("")),
-      when(m(4) === 0, concat(lit(" from 10."),
-        m(256).cast("string"), lit(".0."),
-        m(100).cast("string"), lit(" logged")))
-        .otherwise(lit("")),
-      when(m(5) === 0, concat(lit(" call +1 (555) 867-"),
-        lpad(m(10000).cast("string"), 4, "0")))
-        .otherwise(lit(""))))
+    def seg(e: Either[String, Int], pad: Boolean): Column = e match {
+      case Left(s) => lit(s)
+      case Right(0) => id.cast("string")
+      case Right(m) =>
+        val v = pmod(id, lit(m)).cast("string")
+        if (pad) lpad(v, phonePad, "0") else v
+    }
+    val plants = piiPlants.map { case (gate, segs) =>
+      val isPhone = gate == 5
+      when(pmod(id, lit(gate)) === 0,
+        concat(segs.map(s => seg(s, isPhone && s == segs.last)): _*))
+        .otherwise(lit(""))
+    }
+    docs.withColumn("pii_text", concat(col("text") +: plants: _*))
   }
 
-  // the same construction in DuckDB SQL, literals generated from
-  // Pii.patterns so the two engines cannot drift
+  // the same construction in DuckDB SQL, generated from piiPlants and
+  // Pii.patterns — shared literals, no hand duplication
   private val piiScrubSql = {
     val Seq((_, reEmail, rpEmail), (_, reIp, rpIp), (_, rePh, rpPh)) =
       pipeline.Pii.patterns
+    def seg(e: Either[String, Int], pad: Boolean): String = e match {
+      case Left(s) => s"'$s'"
+      case Right(0) => "CAST(doc_id AS VARCHAR)"
+      case Right(m) =>
+        val v = s"CAST(doc_id % $m AS VARCHAR)"
+        if (pad) s"lpad($v, $phonePad, '0')" else v
+    }
+    val plantSql = piiPlants.map { case (gate, segs) =>
+      val isPhone = gate == 5
+      val body = segs.map(s => seg(s, isPhone && s == segs.last))
+        .mkString(" || ")
+      s"CASE WHEN doc_id % $gate = 0 THEN $body ELSE '' END"
+    }.mkString(" ||\n    ")
     s"""WITH p AS (
        |  SELECT doc_id AS id, text ||
-       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
-       |      CAST(doc_id AS VARCHAR) || '@mail-' ||
-       |      CAST(doc_id % 7 AS VARCHAR) || '.example.com'
-       |      ELSE '' END ||
-       |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' ||
-       |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
-       |      CAST(doc_id % 100 AS VARCHAR) || ' logged'
-       |      ELSE '' END ||
-       |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 867-' ||
-       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-       |      ELSE '' END AS t0
+       |    $plantSql AS t0
        |  FROM documents),
        |s1 AS (SELECT id,
        |  len(regexp_extract_all(t0, '$reEmail')) AS n_email,
@@ -685,6 +711,65 @@ object SparkEntry {
        |  n_email + n_ipv4 + n_phone AS n_pii,
        |  (n_email + n_ipv4 + n_phone) > 0 AS is_dirty
        |FROM s3 ORDER BY id""".stripMargin
+  }
+
+  // planted crawl URLs, one spec for both engines (same Left(literal)
+  // / Right(modulus) encoding as piiPlants; variant = doc_id % 6):
+  // uppercase scheme/host, default + non-default ports, utm runs in
+  // every position, a trailing slash, and one malformed non-URL row
+  private val urlPlants: Seq[Seq[Either[String, Int]]] = Seq(
+    Seq(Left("HTTPS://WWW.Example-"), Right(50),
+      Left(".COM/path/"), Right(7),
+      Left("/?utm_source=feed&utm_campaign=c"), Right(3),
+      Left("&q="), Right(13), Left("#frag")),
+    Seq(Left("http://site-"), Right(50), Left(".org:80/a/b"),
+      Right(9), Left("/")),
+    Seq(Left("https://Sub.Host-"), Right(50),
+      Left(".net:443/x?utm_a=1&utm_b=2")),
+    Seq(Left("http://plain-"), Right(50), Left(".com/path?a="),
+      Right(5), Left("&utm_x=9")),
+    Seq(Left("not a url "), Right(0)),
+    Seq(Left("HTTP://UPPER-"), Right(50), Left(".COM:8080/Keep/Case/?id="),
+      Right(11)))
+
+  private def withPlantedUrl(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def seg(e: Either[String, Int]): Column = e match {
+      case Left(s) => lit(s)
+      case Right(0) => id.cast("string")
+      case Right(m) => pmod(id, lit(m)).cast("string")
+    }
+    val url = urlPlants.zipWithIndex.foldRight(lit(""): Column) {
+      case ((segs, i), acc) =>
+        when(pmod(id, lit(urlPlants.size)) === i,
+          concat(segs.map(seg): _*)).otherwise(acc)
+    }
+    docs.withColumn("url", url)
+  }
+
+  private val urlNormalizeSql = {
+    def seg(e: Either[String, Int]): String = e match {
+      case Left(s) => s"'$s'"
+      case Right(0) => "CAST(doc_id AS VARCHAR)"
+      case Right(m) => s"CAST(doc_id % $m AS VARCHAR)"
+    }
+    val urlExpr = urlPlants.zipWithIndex.map { case (segs, i) =>
+      s"WHEN doc_id % ${urlPlants.size} = $i THEN " +
+        segs.map(seg).mkString(" || ")
+    }.mkString("CASE ", " ", " ELSE '' END")
+    s"""WITH p AS (
+       |  SELECT doc_id AS id, $urlExpr AS url FROM documents),
+       |n AS (
+       |  SELECT id, url,
+       |    ${pipeline.UrlNorm.urlNormSql("url")} AS url_norm
+       |  FROM p),
+       |h AS (
+       |  SELECT id, url, url_norm,
+       |    regexp_extract(url_norm, '^[a-z]+://([^/?#:]*)', 1) AS host
+       |  FROM n)
+       |SELECT id, url, url_norm, host,
+       |  regexp_extract(host, '([^.]+[.][^.]+)${"$"}', 1) AS domain
+       |FROM h ORDER BY id""".stripMargin
   }
 
   // shared by ref_lineitem_part and its keys-path twin
@@ -1358,6 +1443,8 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY cnt DESC, term) AS vocab_id,
         |  term, cnt
         |FROM tc ORDER BY vocab_id""".stripMargin,
+
+    "url_normalize" -> urlNormalizeSql,
 
     "pii_scrub" -> piiScrubSql,
 

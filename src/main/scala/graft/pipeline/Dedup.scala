@@ -424,11 +424,16 @@ object Dedup {
   def duplicateSpanCoverage(df: DataFrame, idCol: String,
                             textCol: String, k: Int = 8,
                             hashGrams: Boolean = false): DataFrame = {
+    // persisted: the positional-shingle explode is the dominant cost
+    // and feeds two non-identical exchanges (frequency agg + join
+    // probe) that ReuseExchange cannot dedupe — same precedent and
+    // caller-owned lifecycle as the ngramJaccardPairs gram projection
     val occ = df.select(col(idCol).as("id"),
         posexplode(graft.functions.NgramShingles.ngramsPositional(
           col(textCol), k)))
       .select(col("id"), col("pos"),
         (if (hashGrams) xxhash64(col("col")) else col("col")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-frequency table; duplicated = total occurrences >= 2
     val dupG = occ.groupBy("g").agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= 2).select("g")

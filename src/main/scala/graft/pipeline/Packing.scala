@@ -60,10 +60,15 @@ object Packing {
     val tokEnd = least((col("seq_id") + 1) * L - col("off0"),
       col("n_tok"))
     base
-      // sequences this doc spans: floor(off0/L) .. floor((off0+n-1)/L)
+      // sequences this doc spans: off0 div L .. (off0+n-1) div L —
+      // SQL `div` (integral long division) not floor(a/b): `/` on two
+      // longs is IEEE double division, exact only below 2^53, and a
+      // shard's running token offset is exactly the quantity this
+      // operator lets grow unbounded (the DuckDB oracle's `//` is
+      // exact integer division — the engines must agree bit-for-bit)
       .withColumn("seq_id", explode(sequence(
-        floor(col("off0") / L),
-        floor((col("off0") + col("n_tok") - 1) / L))))
+        expr(s"off0 div ${seqLen.toLong}"),
+        expr(s"(off0 + n_tok - 1) div ${seqLen.toLong}"))))
       .select(col("shard"), col("seq_id"), col("id"),
         tokStart.as("tok_start"), tokEnd.as("tok_end"),
         (tokEnd - tokStart).as("n_toks"),

@@ -91,9 +91,12 @@ class TrainingOpsSpec extends SparkTestBase {
   }
 
   test("packing: default hashed shard map keeps the same invariants") {
-    val packed = Packing.packSequences(docs.limit(200), "doc_id",
+    // limit() alone is nondeterministic across actions on a multi-
+    // partition input — pin the subset with a filter instead
+    val sub = docs.where(col("doc_id") < 200)
+    val packed = Packing.packSequences(sub, "doc_id",
       "text", seqLen = 128, nShards = 4)
-    val nTokens = docs.limit(200)
+    val nTokens = sub
       .select(sum(size(split(col("text"), " ")))).as[Long].head()
     assert(packed.select(sum("n_toks")).as[Long].head() == nTokens)
     assert(packed.select(countDistinct("shard")).as[Long].head() > 1L)
@@ -157,6 +160,46 @@ class TrainingOpsSpec extends SparkTestBase {
     val o2 = TextAnalysis.tfidfTopK(rows2, "doc_id", "text", 1, 2L)
       .collect()
     assert(o2.forall(_.getAs[String]("term") != "the"))
+  }
+
+  // ---- URL normalization ----
+
+  test("url normalization: case, default ports, utm runs, fragment, " +
+       "trailing slash, malformed passthrough") {
+    val rows = Seq(
+      (1L, "HTTPS://WWW.Ex.COM:443/A/B/?utm_source=x&utm_campaign=y&q=2#top"),
+      (2L, "http://h.org:80/p/"),
+      (3L, "http://h.org:8080/p"),
+      (4L, "https://a.b.c.net/x?a=1&utm_x=2&b=3"),
+      (5L, "not a url"),
+      (6L, "http://Host.COM/?utm_a=1"),
+      (7L, "http://m.com/x?utm_a=1&k=2&utm_b=3&j=4")
+    ).toDF("doc_id", "url")
+    val out = UrlNorm.normalize(rows, "doc_id", "url").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("url_norm") ==
+      "https://www.ex.com/A/B/?q=2") // path case kept, port+utm+frag gone
+    assert(out(2L).getAs[String]("url_norm") == "http://h.org/p")
+    assert(out(3L).getAs[String]("url_norm") == "http://h.org:8080/p")
+    assert(out(4L).getAs[String]("url_norm") ==
+      "https://a.b.c.net/x?a=1&b=3") // mid-query utm keeps neighbors
+    assert(out(4L).getAs[String]("host") == "a.b.c.net")
+    assert(out(4L).getAs[String]("domain") == "c.net")
+    assert(out(5L).getAs[String]("url_norm") == "not a url")
+    assert(out(5L).getAs[String]("host") == "")
+    assert(out(6L).getAs[String]("url_norm") == "http://host.com/")
+    // two utm runs split by non-utm params — global replace in both
+    // engines (DuckDB needs the explicit 'g' flag)
+    assert(out(7L).getAs[String]("url_norm") ==
+      "http://m.com/x?k=2&j=4")
+    // normalization is idempotent
+    val renorm = UrlNorm.normalize(
+      UrlNorm.normalize(rows, "doc_id", "url")
+        .select(col("id").as("doc_id"), col("url_norm").as("url")),
+      "doc_id", "url").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("url_norm"),
+        r.getAs[String]("url"))).toSeq
+    assert(renorm.forall { case (_, n, u) => n == u })
   }
 
   // ---- vocab ----
