@@ -428,6 +428,16 @@ object SparkEntry {
           withPlantedUrl(t(s, dir, "documents")), "doc_id", "url")
         .orderBy("id")),
 
+    // dedup by canonical URL — the composite the normalizer exists
+    // for: variants 0-5 collapse per (doc_id%300) onto shared hosts,
+    // so distinct raw URLs group once normalized
+    "dedup_url" -> ((s, dir) =>
+      pipeline.Dedup.exact(
+          pipeline.UrlNorm.normalize(
+            withPlantedUrl(t(s, dir, "documents")), "doc_id", "url"),
+          Seq("url_norm"), "id")
+        .orderBy("url_norm")),
+
     // PII scrub: the synthetic corpus carries no PII, so a suffix of
     // emails / IPv4s / phones is planted as a pure function of doc_id
     // that the oracle rebuilds byte-identically — counts AND redacted
@@ -730,7 +740,13 @@ object SparkEntry {
       Right(5), Left("&utm_x=9")),
     Seq(Left("not a url "), Right(0)),
     Seq(Left("HTTP://UPPER-"), Right(50), Left(".COM:8080/Keep/Case/?id="),
-      Right(11)))
+      Right(11)),
+    // the uppercase / explicit-default-port / tracking-param twin of
+    // variant 3: normalizes to the SAME canonical URL, so dedup_url
+    // groups rows whose RAW strings differ — the case the normalizer
+    // exists for
+    Seq(Left("HTTP://Plain-"), Right(50), Left(".COM:80/path?a="),
+      Right(5), Left("&utm_y=7")))
 
   private def withPlantedUrl(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
@@ -747,7 +763,9 @@ object SparkEntry {
     docs.withColumn("url", url)
   }
 
-  private val urlNormalizeSql = {
+  // the planted-URL + normalization CTE chain (through `h`), shared by
+  // url_normalize and dedup_url so the two oracles cannot diverge
+  private val urlNormCtes = {
     def seg(e: Either[String, Int]): String = e match {
       case Left(s) => s"'$s'"
       case Right(0) => "CAST(doc_id AS VARCHAR)"
@@ -766,11 +784,14 @@ object SparkEntry {
        |h AS (
        |  SELECT id, url, url_norm,
        |    regexp_extract(url_norm, '^[a-z]+://([^/?#:]*)', 1) AS host
-       |  FROM n)
+       |  FROM n)""".stripMargin
+  }
+
+  private val urlNormalizeSql =
+    s"""$urlNormCtes
        |SELECT id, url, url_norm, host,
        |  regexp_extract(host, '([^.]+[.][^.]+)${"$"}', 1) AS domain
        |FROM h ORDER BY id""".stripMargin
-  }
 
   // shared by ref_lineitem_part and its keys-path twin
   private val refLineitemPartSql =
@@ -1445,6 +1466,15 @@ object SparkEntry {
         |FROM tc ORDER BY vocab_id""".stripMargin,
 
     "url_normalize" -> urlNormalizeSql,
+
+    // duplicate groups on the canonical URL (same generated CTE chain
+    // as url_normalize; includes cross-variant groups whose raw
+    // strings differ)
+    "dedup_url" ->
+      s"""$urlNormCtes
+         |SELECT url_norm, count(*) AS n_dups, min(id) AS first_id
+         |FROM h GROUP BY url_norm HAVING count(*) > 1
+         |ORDER BY url_norm""".stripMargin,
 
     "pii_scrub" -> piiScrubSql,
 

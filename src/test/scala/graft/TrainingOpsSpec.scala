@@ -202,6 +202,47 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(renorm.forall { case (_, n, u) => n == u })
   }
 
+  test("url dedup: normalization groups raw-distinct twins") {
+    val rows = Seq(
+      (3L, "http://plain-3.com/path?a=3&utm_x=9"),
+      (13L, "HTTP://Plain-3.COM:80/path?a=3&utm_y=7"),
+      (4L, "http://other.com/x")
+    ).toDF("doc_id", "url")
+    val d = Dedup.exact(UrlNorm.normalize(rows, "doc_id", "url"),
+      Seq("url_norm"), "id").collect()
+    assert(d.length == 1)
+    assert(d.head.getAs[String]("url_norm") ==
+      "http://plain-3.com/path?a=3")
+    assert(d.head.getAs[Long]("n_dups") == 2L)
+    assert(d.head.getAs[Long]("first_id") == 3L)
+  }
+
+  test("packing property: invariants hold across seqLen/nShards " +
+       "configs") {
+    for ((seqLen, nShards) <- Seq((16, 1), (64, 3), (1000, 7))) {
+      val packed = Packing.packSequences(docs, "doc_id", "text",
+        seqLen, nShards).cache()
+      val nTokens = docs.select(sum(size(split(col("text"), " "))))
+        .as[Long].head()
+      assert(packed.select(sum("n_toks")).as[Long].head() == nTokens,
+        s"($seqLen,$nShards) token conservation")
+      // no slice exceeds seqLen; none empty; offsets inside [0, L)
+      assert(packed.where(col("n_toks") > seqLen.toLong ||
+        col("n_toks") <= 0L || col("seq_off") < 0L ||
+        col("seq_off") >= seqLen.toLong).isEmpty,
+        s"($seqLen,$nShards) slice bounds")
+      // per (shard, seq): slices tile exactly [0, L) except the last
+      val seqTot = packed.groupBy("shard", "seq_id")
+        .agg(sum("n_toks").as("t"), min("seq_off").as("lo"))
+      val last = seqTot.join(packed.groupBy("shard")
+        .agg(max("seq_id").as("m")), "shard")
+      assert(last.where(col("seq_id") =!= col("m") &&
+        (col("t") =!= seqLen.toLong || col("lo") =!= 0L)).isEmpty,
+        s"($seqLen,$nShards) full sequences")
+      packed.unpersist()
+    }
+  }
+
   // ---- vocab ----
 
   test("vocab: two-phase histogram rank ≡ single global window; " +
