@@ -411,6 +411,14 @@ object SparkEntry {
         .orderBy("id", "term_rank")
     }),
 
+    // seeded JL random projection 64 → 8 dims: fixed-size codegen'd
+    // row-local matmul (left-assoc FP chains so the oracle, built from
+    // the SAME generated matrix literals, is bit-identical pre-round)
+    "emb_project" -> ((s, dir) =>
+      pipeline.Embeddings.project(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, d = 64)
+        .orderBy("id")),
+
     // vocabulary induction: dense ids by (count desc, term asc), two-
     // phase histogram-offset rank (ids provably equal the single-window
     // form; VocabSpec pins it)
@@ -688,8 +696,6 @@ object SparkEntry {
   // the same construction in DuckDB SQL, generated from piiPlants and
   // Pii.patterns — shared literals, no hand duplication
   private val piiScrubSql = {
-    val Seq((_, reEmail, rpEmail), (_, reIp, rpIp), (_, rePh, rpPh)) =
-      pipeline.Pii.patterns
     def seg(e: Either[String, Int], pad: Boolean): String = e match {
       case Left(s) => s"'$s'"
       case Right(0) => "CAST(doc_id AS VARCHAR)"
@@ -703,24 +709,35 @@ object SparkEntry {
         .mkString(" || ")
       s"CASE WHEN doc_id % $gate = 0 THEN $body ELSE '' END"
     }.mkString(" ||\n    ")
+    // one CTE per pattern, generated from Pii.patterns in scrub order
+    // (the same fold the engine projection performs): sN counts on the
+    // previous pattern's redacted text, then redacts — the chain stays
+    // correct if patterns are added, removed, or reordered
+    val pats = pipeline.Pii.patterns
+    val ctes = pats.zipWithIndex.map { case ((tag, re, repl), i) =>
+      val prevT = if (i == 0) "t0" else s"t$i"
+      val prevCte = if (i == 0) "p" else s"s$i"
+      val outT =
+        if (i == pats.size - 1) "clean_text" else s"t${i + 1}"
+      val carried = pats.take(i).map { case (t, _, _) => s"n_$t" }
+        .map(c => s"$c, ").mkString
+      s"""s${i + 1} AS (SELECT id, $carried
+         |  len(regexp_extract_all($prevT, '$re')) AS n_$tag,
+         |  regexp_replace($prevT, '$re', '$repl', 'g') AS $outT
+         |  FROM $prevCte)""".stripMargin
+    }.mkString(",\n")
+    val nTotal = pats.map { case (t, _, _) => s"n_$t" }
+      .mkString(" + ")
+    val nCols = pats.map { case (t, _, _) => s"n_$t" }.mkString(", ")
     s"""WITH p AS (
        |  SELECT doc_id AS id, text ||
        |    $plantSql AS t0
        |  FROM documents),
-       |s1 AS (SELECT id,
-       |  len(regexp_extract_all(t0, '$reEmail')) AS n_email,
-       |  regexp_replace(t0, '$reEmail', '$rpEmail', 'g') AS t1 FROM p),
-       |s2 AS (SELECT id, n_email,
-       |  len(regexp_extract_all(t1, '$reIp')) AS n_ipv4,
-       |  regexp_replace(t1, '$reIp', '$rpIp', 'g') AS t2 FROM s1),
-       |s3 AS (SELECT id, n_email, n_ipv4,
-       |  len(regexp_extract_all(t2, '$rePh')) AS n_phone,
-       |  regexp_replace(t2, '$rePh', '$rpPh', 'g') AS clean_text
-       |  FROM s2)
-       |SELECT id, n_email, n_ipv4, n_phone, clean_text,
-       |  n_email + n_ipv4 + n_phone AS n_pii,
-       |  (n_email + n_ipv4 + n_phone) > 0 AS is_dirty
-       |FROM s3 ORDER BY id""".stripMargin
+       |$ctes
+       |SELECT id, $nCols, clean_text,
+       |  $nTotal AS n_pii,
+       |  ($nTotal) > 0 AS is_dirty
+       |FROM s${pats.size} ORDER BY id""".stripMargin
   }
 
   // planted crawl URLs, one spec for both engines (same Left(literal)
@@ -1454,6 +1471,14 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term) AS term_rank FROM sc)
         |SELECT id, term_rank, term, tf, df, tfidf FROM rk
         |WHERE term_rank <= 3 ORDER BY id, term_rank""".stripMargin,
+
+    "emb_project" -> {
+      val cols = pipeline.Embeddings.projectSqlCols("embedding", 8, 64)
+        .mkString(",\n  ")
+      s"""SELECT vec_id AS id,
+         |  $cols
+         |FROM embeddings ORDER BY id""".stripMargin
+    },
 
     "vocab_build" ->
       """WITH tc AS (

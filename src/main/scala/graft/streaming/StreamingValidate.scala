@@ -229,6 +229,23 @@ object StreamingValidate {
           greatest(col("n_docs"), lit(1L)), 4))
   }
 
+  /** Per-key event sessionization: gap-based `session_window` (a
+    * session closes after `gap` of silence), emitting count and exact
+    * span per (key, session). Ingest-side use: a crawler host whose
+    * fetch session suddenly spans hours, or a doc_id re-emitted across
+    * sessions, is a data-quality signal tumbling windows blur. State
+    * is one open session per active key, closed and evicted by the
+    * watermark — bounded by ACTIVE keys, never by history. */
+  def sessionized(stream: DataFrame, keyCol: String, tsCol: String,
+                  gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+      .select(col(keyCol), col("session_window"), col("n_events"),
+        col("first_ts"), col("last_ts"))
+
   /** streaming per-window pass/fail summary for event-timestamped
     * documents: watermarked tumbling-window aggregation. */
   def windowedSummary(stream: DataFrame, contract: ObjectC,

@@ -243,6 +243,63 @@ class TrainingOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---- embedding projection ----
+
+  test("embedding projection: matches driver-side matmul with the " +
+       "same seeded matrix") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, (0 until 64).map(j => (j % 7 - 3) * 0.25f).toArray),
+      (3L, (0 until 64).map(j => math.sin(j).toFloat).toArray))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Embeddings.project(df, "vec_id", "embedding", k = 8,
+      d = 64).collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val m = Embeddings.projectionMatrix(8, 64, 42L)
+    val inv = 1.0 / math.sqrt(8.0)
+    for ((id, v) <- vecs; i <- 0 until 8) {
+      val raw = (0 until 64).map(j => v(j).toDouble * m(i)(j))
+        .reduceLeft(_ + _) * inv
+      val exp = BigDecimal(raw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(id).getAs[Double](s"p$i") == exp,
+        s"id=$id dim=$i")
+    }
+    // seed determinism: two builds agree
+    assert(Embeddings.projectionMatrix(8, 64, 42L).flatten.toSeq ==
+      Embeddings.projectionMatrix(8, 64, 42L).flatten.toSeq)
+  }
+
+  // ---- streaming sessionization ----
+
+  test("streaming: gap sessionization splits on silence, counts " +
+       "per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sqlCtx = spark.sqlContext
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "host")
+    val out = graft.streaming.StreamingValidate.sessionized(df,
+      "host", "ts", "5 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    def ts(m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData(
+      (ts(0), "a"), (ts(2), "a"), (ts(3), "a"), // session 1
+      (ts(20), "a"),                            // new session after gap
+      (ts(1), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getAs[String]("host"),
+        r.getAs[Long]("n_events"),
+        r.getAs[java.sql.Timestamp]("first_ts")))
+    assert(rows.count(_._1 == "a") == 2)
+    assert(rows.contains(("a", 3L, ts(0))))
+    assert(rows.contains(("a", 1L, ts(20))))
+    assert(rows.contains(("b", 1L, ts(1))))
+  }
+
   // ---- vocab ----
 
   test("vocab: two-phase histogram rank ≡ single global window; " +
