@@ -243,6 +243,62 @@ class TrainingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("pii property: scrub is idempotent over 300 adversarial " +
+       "generated strings (batched, one job)") {
+    import org.scalacheck.Gen
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("a.b+c@host.example.org"),
+      Gen.const("10.1.2.3"),
+      Gen.const("+1 (555) 123-4567"),
+      Gen.const("@@??.. 999.999.999.999"),   // near-misses
+      Gen.const("user@@double.com x@y"),
+      Gen.oneOf("<EMAIL>", "<IP>", "<PHONE>"), // replacement tokens
+      Gen.listOfN(5, Gen.choose(' ', '~')).map(_.mkString))
+    val texts = Gen.listOfN(300,
+      Gen.listOfN(6, piece).map(_.mkString(" "))).sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = Pii.scrub(df, "doc_id", "text")
+    val twice = Pii.scrub(once.select(col("id").as("doc_id"),
+      col("clean_text").as("text")), "doc_id", "text")
+    // second scrub finds nothing and changes nothing
+    assert(twice.where(col("n_pii") =!= 0).isEmpty)
+    val joined = once.select(col("id"), col("clean_text").as("a"))
+      .join(twice.select(col("id"), col("clean_text").as("b")), "id")
+    assert(joined.where(col("a") =!= col("b")).isEmpty)
+  }
+
+  test("url property: normalization is idempotent over generated " +
+       "URLs (batched, one job)") {
+    import org.scalacheck.Gen
+    val url = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      host <- Gen.oneOf("A.Example.COM", "x.org", "Sub.Dom.NET")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/p/q/")
+      q <- Gen.oneOf("", "?a=1", "?utm_s=1", "?utm_s=1&b=2",
+        "?a=1&utm_x=2&b=3&utm_y=4")
+      frag <- Gen.oneOf("", "#Frag")
+    } yield s"$scheme://$host$port$path$q$frag"
+    val urls = Gen.listOfN(300, url).sample.get
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val once = UrlNorm.normalize(df, "doc_id", "url")
+    val twice = UrlNorm.normalize(once.select(
+      col("id").as("doc_id"), col("url_norm").as("url")),
+      "doc_id", "url")
+    val joined = once.select(col("id"), col("url_norm").as("a"))
+      .join(twice.select(col("id"), col("url_norm").as("b")), "id")
+    assert(joined.where(col("a") =!= col("b")).isEmpty)
+    // invariants: no fragment, no utm param, no scheme-DEFAULT port
+    // survives (http:443 / https:80 are non-default and kept)
+    assert(once.where(col("url_norm").contains("#") ||
+      col("url_norm").contains("utm_") ||
+      col("url_norm").rlike("^http://[^/]+:80(/|$)") ||
+      col("url_norm").rlike("^https://[^/]+:443(/|$)")).isEmpty)
+  }
+
   // ---- embedding projection ----
 
   test("embedding projection: matches driver-side matmul with the " +
