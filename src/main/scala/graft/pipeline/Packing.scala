@@ -46,7 +46,6 @@ object Packing {
     require(nShards >= 1, "nShards must be >= 1")
     val shard = shardExpr.getOrElse(
       pmod(xxhash64(col(idCol)), lit(nShards)))
-    val L = lit(seqLen.toLong)
     // the base projection renames idCol to `id` — order by the alias
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
     val base = df.select(col(idCol).as("id"),
@@ -56,6 +55,41 @@ object Packing {
       .withColumn("off0", coalesce(
         sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding,
           -1)), lit(0L)))
+    packFrom(base, seqLen)
+  }
+
+  /** Group-pure packing: like [[packSequences]], but no sequence ever
+    * mixes documents from different `groupCols` values (language- or
+    * domain-pure training sequences — mixing languages inside one
+    * attention window is usually a data bug, not a choice). Each
+    * (group, shard) packs its own stream; `nShards` still bounds the
+    * window partition so one giant group (English) cannot serialize
+    * through one task. */
+  def packSequencesBy(df: DataFrame, groupCols: Seq[String],
+                      idCol: String, textCol: String,
+                      seqLen: Int, nShards: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(seqLen >= 1 && nShards >= 1)
+    val shard = pmod(xxhash64(col(idCol)), lit(nShards))
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs :+ col("shard"): _*)
+      .orderBy(col("id"))
+    val base = df.select(
+        gs ++ Seq(col(idCol).as("id"), shard.cast("bigint").as("shard"),
+          size(split(col(textCol), " ")).cast("bigint")
+            .as("n_tok")): _*)
+      .withColumn("off0", coalesce(
+        sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding,
+          -1)), lit(0L)))
+    packFrom(base, seqLen, groupCols)
+  }
+
+  /** shared tail: explode the running-offset projection into
+    * per-(sequence × document-slice) rows. `base` must carry
+    * (id, shard, n_tok, off0) plus any group columns. */
+  private def packFrom(base: DataFrame, seqLen: Int,
+                       groupCols: Seq[String] = Nil): DataFrame = {
+    val L = lit(seqLen.toLong)
     val tokStart = greatest(col("seq_id") * L - col("off0"), lit(0L))
     val tokEnd = least((col("seq_id") + 1) * L - col("off0"),
       col("n_tok"))
@@ -69,11 +103,12 @@ object Packing {
       .withColumn("seq_id", explode(sequence(
         expr(s"off0 div ${seqLen.toLong}"),
         expr(s"(off0 + n_tok - 1) div ${seqLen.toLong}"))))
-      .select(col("shard"), col("seq_id"), col("id"),
-        tokStart.as("tok_start"), tokEnd.as("tok_end"),
+      .select(groupCols.map(col) ++ Seq(col("shard"), col("seq_id"),
+        col("id"), tokStart.as("tok_start"), tokEnd.as("tok_end"),
         (tokEnd - tokStart).as("n_toks"),
         // offset of the slice inside its sequence: where in [0, L)
         // this doc-slice's first token lands
-        (col("off0") + tokStart - col("seq_id") * L).as("seq_off"))
+        (col("off0") + tokStart - col("seq_id") * L)
+          .as("seq_off")): _*)
   }
 }

@@ -217,6 +217,31 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(d.head.getAs[Long]("first_id") == 3L)
   }
 
+  test("packing by group: sequences are language-pure, tokens " +
+       "conserved per group") {
+    val packed = Packing.packSequencesBy(docs, Seq("lang"), "doc_id",
+      "text", seqLen = 64, nShards = 4).cache()
+    // a (lang, shard, seq_id) sequence holds docs of exactly one lang
+    // by construction — verify id→lang consistency via join back
+    val withLang = packed.select("lang", "id").distinct()
+      .join(docs.select(col("doc_id").as("id"),
+        col("lang").as("true_lang")), "id")
+    assert(withLang.where(col("lang") =!= col("true_lang")).isEmpty)
+    // token conservation per language
+    val perLang = packed.groupBy("lang").agg(sum("n_toks").as("got"))
+      .join(docs.groupBy("lang").agg(
+        sum(size(split(col("text"), " "))).as("want")), "lang")
+    assert(perLang.where(col("got") =!= col("want")).isEmpty)
+    // full sequences except each (lang, shard)'s last
+    val seqTot = packed.groupBy("lang", "shard", "seq_id")
+      .agg(sum("n_toks").as("t"))
+    val lastSeq = seqTot.groupBy("lang", "shard")
+      .agg(max("seq_id").as("m"))
+    assert(seqTot.join(lastSeq, Seq("lang", "shard"))
+      .where(col("seq_id") =!= col("m") && col("t") =!= 64L).isEmpty)
+    packed.unpersist()
+  }
+
   test("packing property: invariants hold across seqLen/nShards " +
        "configs") {
     for ((seqLen, nShards) <- Seq((16, 1), (64, 3), (1000, 7))) {
