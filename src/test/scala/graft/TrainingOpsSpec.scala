@@ -324,6 +324,38 @@ class TrainingOpsSpec extends SparkTestBase {
       col("url_norm").rlike("^https://[^/]+:443(/|$)")).isEmpty)
   }
 
+  test("null-text semantics pinned across the new operators") {
+    val rows = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // pii: null text → null counts and null flag (unknown, not clean)
+    val p = Pii.scrub(rows, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(p(2L).isNullAt(p(2L).fieldIndex("n_email")))
+    assert(p(2L).isNullAt(p(2L).fieldIndex("is_dirty")))
+    assert(p(1L).getAs[Int]("n_pii") == 0)
+    // packing: a null-text doc contributes no tokens and no slices,
+    // and does NOT shift its shard's stream
+    val pk = Packing.packSequences(rows, "doc_id", "text", 2, 1)
+    assert(pk.where(col("id") === 2L).isEmpty)
+    assert(pk.select(sum("n_toks")).as[Long].head() == 3L)
+    // span coverage: null text → null n_tokens, zero coverage row kept
+    val cv = Dedup.duplicateSpanCoverage(rows, "doc_id", "text", 2)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(cv(2L).isNullAt(cv(2L).fieldIndex("n_tokens")))
+    assert(cv(2L).getAs[Long]("covered_tokens") == 0L)
+    // vocab / tfidf: null docs contribute no terms
+    assert(TextAnalysis.buildVocab(rows, "text", 1)
+      .select(sum("cnt")).as[Long].head() == 3L)
+    assert(TextAnalysis.tfidfTopK(rows, "doc_id", "text", 5, 2L)
+      .where(col("id") === 2L).isEmpty)
+    // url: null url → null url_norm (not a crash, not a phantom host)
+    val un = UrlNorm.normalize(Seq((1L, "http://x.co/"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "url"),
+      "doc_id", "url").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(un(2L).isNullAt(un(2L).fieldIndex("url_norm")))
+  }
+
   // ---- embedding projection ----
 
   test("embedding projection: matches driver-side matmul with the " +
