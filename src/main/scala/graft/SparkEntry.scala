@@ -464,6 +464,15 @@ object SparkEntry {
           shardExpr = Some(pmod(col("doc_id"), lit(8))))
         .orderBy("shard", "seq_id", "id")),
 
+    // group-pure packing: language-pure 256-token sequences, 4 shards
+    // per language (deterministic doc_id%4 shard so the oracle
+    // replays; production default hashes the id)
+    "pack_sequences_by_lang" -> ((s, dir) =>
+      pipeline.Packing.packSequencesBy(t(s, dir, "documents"),
+          Seq("lang"), "doc_id", "text", seqLen = 256, nShards = 4,
+          shardExpr = Some(pmod(col("doc_id"), lit(4))))
+        .orderBy("lang", "shard", "seq_id", "id")),
+
     // substring-level duplication: fraction of each doc's tokens
     // covered by an 8-gram occurring >= 2x in the corpus (interval
     // union via one lead-window — no k-fold position explode)
@@ -1528,6 +1537,32 @@ object SparkEntry {
         |  off0 + greatest(seq_id * 256 - off0, 0) - seq_id * 256
         |    AS seq_off
         |FROM e ORDER BY shard, seq_id, id""".stripMargin,
+
+    // the grouped twin: same arithmetic, window partitioned by
+    // (lang, shard)
+    "pack_sequences_by_lang" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id AS id, doc_id % 4 AS shard,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang,
+        |    shard ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) AS BIGINT) AS off0
+        |  FROM d),
+        |e AS (
+        |  SELECT lang, shard, id, n_tok, off0,
+        |    unnest(range(off0 // 256, (off0 + n_tok - 1) // 256 + 1))
+        |      AS seq_id
+        |  FROM c)
+        |SELECT lang, shard, seq_id, id,
+        |  greatest(seq_id * 256 - off0, 0) AS tok_start,
+        |  least((seq_id + 1) * 256 - off0, n_tok) AS tok_end,
+        |  least((seq_id + 1) * 256 - off0, n_tok) -
+        |    greatest(seq_id * 256 - off0, 0) AS n_toks,
+        |  off0 + greatest(seq_id * 256 - off0, 0) - seq_id * 256
+        |    AS seq_off
+        |FROM e ORDER BY lang, shard, seq_id, id""".stripMargin,
 
     // positional 8-grams (same slice idiom as the decontam oracle),
     // corpus-frequency >= 2, interval union via one lead window

@@ -67,10 +67,12 @@ object Packing {
     * through one task. */
   def packSequencesBy(df: DataFrame, groupCols: Seq[String],
                       idCol: String, textCol: String,
-                      seqLen: Int, nShards: Int): DataFrame = {
+                      seqLen: Int, nShards: Int,
+                      shardExpr: Option[Column] = None): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(seqLen >= 1 && nShards >= 1)
-    val shard = pmod(xxhash64(col(idCol)), lit(nShards))
+    val shard = shardExpr.getOrElse(
+      pmod(xxhash64(col(idCol)), lit(nShards)))
     val gs = groupCols.map(col)
     val w = Window.partitionBy(gs :+ col("shard"): _*)
       .orderBy(col("id"))
