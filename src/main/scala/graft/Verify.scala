@@ -24,8 +24,9 @@ object Verify {
       // queries persist intermediates (gram projections, staged reads)
       // whose lifecycle they cannot own (the cache backs their lazy
       // plan); once the write has materialized the result the blocks
-      // are dead weight — drop them so 41 queries don't accumulate
+      // are dead weight — drop them so the sweep doesn't accumulate
       spark.catalog.clearCache()
+      pipeline.GramCache.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -37,55 +37,66 @@ object Decontaminate {
   }
 
   /** [[overlap]] for eval corpora too big to broadcast as an exact
-    * gram set: a Bloom filter of the eval n-grams (built distributed
-    * via `DataFrameStatFunctions.bloomFilter`, ~1.2 bytes/gram at 1%
-    * fpp vs ~50+ bytes for the gram string itself) prunes the training
-    * side MAP-SIDE — a gram the filter rejects is DEFINITELY not in the
-    * eval set (no false negatives), so only bloom hits (true overlaps +
-    * an fpp-fraction of false positives) reach the exact verification
-    * join, which removes the false positives. Output is identical to
-    * [[overlap]]; the training table is still never shuffled by n-gram,
-    * and the verification join's input is ~|true overlaps| +
-    * fpp·|training grams| instead of |training grams| — AQE sees the
-    * runtime size and picks broadcast for the typical tiny survivor set.
+    * gram set: a Bloom filter of the eval n-grams (~1.2 bytes/gram at
+    * 1% fpp vs ~50+ bytes for the gram string itself) prunes the
+    * training side MAP-SIDE — a gram the filter rejects is DEFINITELY
+    * not in the eval set (no false negatives), so only bloom hits (true
+    * overlaps + an fpp-fraction of false positives) reach the exact
+    * verification join, which removes the false positives. Output is
+    * identical to [[overlap]]; the training table is still never
+    * shuffled by n-gram, and the verification join's input is ~|true
+    * overlaps| + fpp·|training grams| instead of |training grams| —
+    * AQE sees the runtime size and picks broadcast for the typical tiny
+    * survivor set.
+    *
+    * The filter is built and probed with Spark's NATIVE expressions —
+    * `BloomFilterAggregate` over xxhash64(gram) as a one-row binary
+    * aggregate, handed to the probe as a SCALAR SUBQUERY, and
+    * `BloomFilterMightContain` (codegen'd, one lazy deserialize per
+    * task) in the training-side filter. This is exactly the machinery
+    * Spark's own InjectRuntimeFilter plants for runtime row-group
+    * filtering: no Scala UDF, the probe stays inside whole-stage
+    * codegen, and Catalyst can see through the filter condition.
+    * (Hashing to 64-bit before the membership test can only ADD
+    * xxhash64-collision false positives — removed, like the filter's
+    * own, by the verification join.)
     *
     * `expectedGrams` sizes the filter; 0 means count the deduped eval
     * grams first (one extra pass over the SMALL side only).
     *
     * The eval gram projection feeds THREE subtrees (the sizing count,
-    * the filter build, the verification join), so it is persisted for
-    * the call — like `Dedup.ngramJaccardPairs`' gram projection, the
-    * returned plan still references it, so CALLERS own the unpersist
-    * (drop the returned frame or clear persistent RDDs between passes). */
+    * the filter build, the verification join), so it is persisted via
+    * [[GramCache]] — run passes inside `GramCache.withGramCache { … }`
+    * (or call `GramCache.release()` between passes) to reclaim the
+    * blocks once the returned plan is materialized. */
   def overlapBloom(train: DataFrame, evalDf: DataFrame,
                    idCol: String, textCol: String,
                    evalIdCol: String, evalTextCol: String,
                    n: Int = 8, minShared: Int = 1, fpp: Double = 0.01,
                    expectedGrams: Long = 0L): DataFrame = {
-    val eg = Dedup.withNgrams(evalDf, evalIdCol, evalTextCol, n)
-      .select(col("id").as("eval_id"), explode(col("grams")).as("g"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val eg = GramCache.persistTracked(
+      Dedup.withNgrams(evalDf, evalIdCol, evalTextCol, n)
+        .select(col("id").as("eval_id"), explode(col("grams")).as("g"))
+        .distinct())
     val egGrams = eg.select("g").distinct()
     val expected =
       if (expectedGrams > 0) expectedGrams
       else math.max(egGrams.count(), 1L)
-    // the filter rides to executors as a BROADCAST variable, not a UDF
-    // closure: a closure-captured filter is re-serialized into every
-    // task binary of every stage that touches the probe (at 10⁹ eval
-    // grams the filter is GBs — broadcast ships it once per executor
-    // via the torrent protocol and keeps it off the task path). Its
-    // lifecycle tracks the returned plan: the probe UDF holds the only
-    // handle, so once the caller drops the frame the ContextCleaner's
-    // reference tracking reclaims the blocks everywhere — no explicit
-    // destroy() needed (calling it early would break the lazy plan).
-    val bfB = train.sparkSession.sparkContext.broadcast(
-      egGrams.stat.bloomFilter("g", expected, fpp))
-    val mightContain =
-      udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val numBits = math.max(BloomFilter.optimalNumOfBits(expected, fpp), 64L)
+    val bfAgg = asCol(new BloomFilterAggregate(
+      asExpr(xxhash64(col("g"))), asExpr(lit(expected)),
+      asExpr(lit(numBits))).toAggregateExpression())
+    val bf = egGrams.agg(bfAgg.as("bf")).scalar()
+    val mightContain = asCol(BloomFilterMightContain(
+      asExpr(bf), asExpr(xxhash64(col("g")))))
     val tg = Dedup.withNgrams(train, idCol, textCol, n)
       .select(col("id"), explode(col("grams")).as("g"))
-      .where(mightContain(col("g")))
+      .where(mightContain)
     tg.join(eg, "g") // unhinted: AQE broadcasts the tiny survivor side
       .groupBy("id")
       .agg(countDistinct(col("g")).as("n_shared_ngrams"),

@@ -71,11 +71,10 @@ object Dedup {
     // re-shingles the corpus (~3x the dominant cost). MEMORY_AND_DISK:
     // spills rather than recomputes at 100 TB partition sizes.
     // Cache lifecycle: the blocks back the RETURNED (lazy) plan, so this
-    // function cannot unpersist them itself — callers running many dedup
-    // passes in one session should spark.catalog.clearCache() (or
-    // unpersist via spark.sparkContext.getPersistentRDDs) between passes.
-    val docs = withNgrams(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // function cannot unpersist them itself — tracked in [[GramCache]];
+    // run passes inside GramCache.withGramCache { … } (or call
+    // GramCache.release() between passes) for mechanical cleanup.
+    val docs = GramCache.persistTracked(withNgrams(df, idCol, textCol, n))
     val sh = docs.select(col("id"), explode(col("grams")).as("g"))
     val gramDf = sh.groupBy("g").agg(count(lit(1)).as("df"))
     // per doc: grams sorted by (df, g), keep the prefix
@@ -126,10 +125,9 @@ object Dedup {
     // and a pushed-down filter would re-expand the whole gram expression
     // (incl. the split) below the projection — measured 2x cost.
     // persisted: the projection feeds the signature agg AND both verify
-    // joins (see ngramJaccardPairs note, incl. cache-lifecycle note:
-    // callers own unpersisting once the returned plan is materialized).
-    val docs = withNgrams(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // joins (see ngramJaccardPairs note — tracked in [[GramCache]],
+    // bracket passes with GramCache.withGramCache for cleanup).
+    val docs = GramCache.persistTracked(withNgrams(df, idCol, textCol, n))
     // minhashes via explode + aggregation, NOT array HOFs: HOF lambdas
     // are interpreted (CodegenFallback, per-element boxing) while
     // min(xxhash64(g, s)) aggregates are whole-stage-codegen'd. Spark's
@@ -214,14 +212,20 @@ object Dedup {
   def simhashPairs128(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3,
                       stagingDir: Option[String] = None): DataFrame = {
-    require(maxHamming <= 3, "4-band completeness requires <= 3")
     val sh0 = simhash128(df, idCol, textCol)
     // natural parallelism: coalesce(1) would collapse the upstream
-    // signature aggregation into one task (see bucketAssignments note)
+    // signature aggregation into one task (see lshBuckets note)
     val sh = stagingDir.map { dir =>
       sh0.write.mode("overwrite").parquet(s"$dir/simhash128_sigs")
       df.sparkSession.read.parquet(s"$dir/simhash128_sigs")
     }.getOrElse(sh0)
+    simhashPairs128FromSigs(sh, maxHamming)
+  }
+
+  /** [[simhashPairs128]] from pre-staged signatures (id, sh_lo, sh_hi). */
+  def simhashPairs128FromSigs(sh: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band completeness requires <= 3")
     val mask32 = lit(0xFFFFFFFFL)
     val chunks = Seq(
       col("sh_lo").bitwiseAND(mask32),
@@ -369,17 +373,23 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    stagingDir: Option[String] = None): DataFrame = {
-    require(maxHamming <= 3, "4x16 banding is complete only for <= 3")
     val sh0 = simhash64(df, idCol, textCol)
     // staged runs read the persisted signatures back so the pair join
     // and the oracle consume the SAME bytes (and the signature agg runs
     // once, not once per downstream branch)
     // natural parallelism: coalesce(1) would collapse the upstream
-    // signature aggregation into one task (see bucketAssignments note)
+    // signature aggregation into one task (see lshBuckets note)
     val sh = stagingDir.map { dir =>
       sh0.write.mode("overwrite").parquet(s"$dir/simhash_sigs")
       df.sparkSession.read.parquet(s"$dir/simhash_sigs")
     }.getOrElse(sh0)
+    simhashPairsFromSigs(sh, maxHamming)
+  }
+
+  /** [[simhashPairs]] from pre-staged signatures (id, simhash). */
+  def simhashPairsFromSigs(sh: DataFrame,
+                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding is complete only for <= 3")
     val banded = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
@@ -427,13 +437,13 @@ object Dedup {
     // persisted: the positional-shingle explode is the dominant cost
     // and feeds two non-identical exchanges (frequency agg + join
     // probe) that ReuseExchange cannot dedupe — same precedent and
-    // caller-owned lifecycle as the ngramJaccardPairs gram projection
-    val occ = df.select(col(idCol).as("id"),
-        posexplode(graft.functions.NgramShingles.ngramsPositional(
-          col(textCol), k)))
-      .select(col("id"), col("pos"),
-        (if (hashGrams) xxhash64(col("col")) else col("col")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // GramCache-tracked lifecycle as the ngramJaccardPairs projection
+    val occ = GramCache.persistTracked(
+      df.select(col(idCol).as("id"),
+          posexplode(graft.functions.NgramShingles.ngramsPositional(
+            col(textCol), k)))
+        .select(col("id"), col("pos"),
+          (if (hashGrams) xxhash64(col("col")) else col("col")).as("g")))
     // corpus-frequency table; duplicated = total occurrences >= 2
     val dupG = occ.groupBy("g").agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= 2).select("g")

@@ -68,8 +68,11 @@ object Similarity {
     *
     * `k` is clamped to the training-sample size (≤ `sampleN`): you
     * cannot train more centroids than sample vectors, so tiny corpora
-    * get n centroids and the √n default past sampleN² vectors caps at
-    * `sampleN` — raise `sampleN` if you genuinely want more. */
+    * get n centroids. [[ivfTopK]] auto-scales `sampleN` with the
+    * centroid count (see [[effectiveSampleN]]) so the clamp only fires
+    * on corpora genuinely smaller than the request; when it does fire
+    * on a big corpus it logs a warning instead of silently degrading
+    * bucket balance. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 8, sampleN: Int = 10000,
                       seed: Long = 42): Array[Array[Double]] = {
@@ -78,6 +81,10 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     if (sample.isEmpty) return Array.empty
     val kk = math.min(k, sample.length)
+    if (kk < k && sample.length == sampleN)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"k-means sample ($sampleN) smaller than requested k=$k: " +
+          s"training $kk centroids — raise sampleN for full resolution")
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
@@ -141,6 +148,17 @@ object Similarity {
     * `stagingDir`, when set, persists the trained centroids as parquet
     * (cid, vec) so an external oracle can replay assignment + probe +
     * rerank from the same quantizer. */
+  /** training-sample size that actually supports `nc` centroids:
+    * ≥ 20 sample vectors per requested centroid, never below the
+    * caller's floor. Without this, the √n centroid default silently
+    * saturated at `sampleN` centroids past sampleN² (~10⁸) vectors —
+    * degrading bucket balance exactly where IVF matters most. The
+    * driver collect grows with the request (20·nc vectors), which is
+    * the honest cost of training that many centroids; callers who
+    * cannot afford it should lower nCentroids, not starve the trainer. */
+  def effectiveSampleN(sampleN: Int, nc: Int): Int =
+    math.max(sampleN, 20 * nc)
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
               nCentroids: Int = 0, nProbe: Int = 3,
               stagingDir: Option[String] = None,
@@ -148,14 +166,34 @@ object Similarity {
     val nc =
       if (nCentroids > 0) nCentroids
       else math.max(4, math.ceil(math.sqrt(df.count().toDouble)).toInt)
-    val cents = kmeansCentroids(df, idCol, vecCol, nc, sampleN = sampleN)
-    stagingDir.foreach { dir =>
-      val spark = df.sparkSession
-      import spark.implicits._
-      cents.zipWithIndex.map { case (c, ci) => (ci, c.toSeq) }.toSeq
-        .toDF("cid", "vec").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
-    }
+    val cents = kmeansCentroids(df, idCol, vecCol, nc,
+      sampleN = effectiveSampleN(sampleN, nc))
+    stagingDir.foreach { dir => stageCentroids(df, cents, dir) }
+    ivfTopKWithCentroids(df, idCol, vecCol, cents, k, nProbe)
+  }
+
+  /** persist trained centroids as (cid, vec) parquet so an external
+    * oracle — or a later [[ivfTopKWithCentroids]] call — replays
+    * assignment + probe + rerank from the same quantizer. */
+  def stageCentroids(df: DataFrame, cents: Array[Array[Double]],
+                     dir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, ci) => (ci, c.toSeq) }.toSeq
+      .toDF("cid", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+  }
+
+  /** read back centroids staged by [[stageCentroids]]. */
+  def readCentroids(df: DataFrame, dir: String): Array[Array[Double]] =
+    df.sparkSession.read.parquet(s"$dir/ivf_centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** [[ivfTopK]] from an already-trained quantizer. */
+  def ivfTopKWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+                           cents: Array[Array[Double]], k: Int,
+                           nProbe: Int): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     // top-nProbe (score, centroid) per row, (s desc, c desc) — computed
@@ -214,27 +252,39 @@ object Similarity {
   /** auto-sizing: nPlanes ≈ log2(n / targetBucket), so expected bucket
     * size — and with it the candidate-join cost n·bucketSize — stays
     * constant as n grows (the 100 TB knob; fixed nPlanes would let
-    * buckets grow linearly with n). */
-  private def autoPlanes(df: DataFrame, targetBucket: Double): Int = {
+    * buckets grow linearly with n). Public so callers staging bucket
+    * assignments themselves ([[lshBuckets]]) can reproduce the default. */
+  def autoPlanes(df: DataFrame, targetBucket: Double): Int = {
     val n = df.count().toDouble
     math.max(4, math.ceil(math.log(n / targetBucket) / math.log(2.0))
       .toInt)
   }
 
   /** (id, table, bucket) assignments under `nTables` independent
-    * hyperplane sets; staged runs persist and read back so join sides
-    * and any external oracle consume the same bytes. */
+    * hyperplane sets — the stageable intermediate of [[lshTopK]] /
+    * [[cosinePairsLsh]]: callers separating setup from measurement (or
+    * feeding an external oracle) persist this once and hand the
+    * read-back frame to the `FromBuckets` variants. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 dim: Int = 64, nPlanes: Int = 0, nTables: Int = 12,
+                 seed: Long = 42, targetBucket: Double = 16.0)
+      : DataFrame = {
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(df, targetBucket)
+    val ps = planes(nTables, np, dim, seed)
+    df.select(col(idCol).as("id"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"), bucket(col(vecCol), ps(t)).as("b"))): _*))
+          .as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+  }
+
   private def bucketAssignments(df: DataFrame, idCol: String,
                                 vecCol: String, dim: Int, nPlanes: Int,
                                 nTables: Int, seed: Long,
                                 stagingDir: Option[String],
                                 stageName: String): DataFrame = {
-    val ps = planes(nTables, nPlanes, dim, seed)
-    val bucketed0 = df.select(col(idCol).as("id"),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("t"), bucket(col(vecCol), ps(t)).as("b"))): _*))
-        .as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val bucketed0 =
+      lshBuckets(df, idCol, vecCol, dim, nPlanes, nTables, seed)
     // staged at natural parallelism: a coalesce(1) here wouldn't just
     // serialize the write, it collapses the UPSTREAM hyperplane scoring
     // into one task (coalesce propagates up — no shuffle boundary);
@@ -251,13 +301,19 @@ object Similarity {
               seed: Long = 42, stagingDir: Option[String] = None)
       : DataFrame = {
     val np = if (nPlanes > 0) nPlanes else autoPlanes(df, 4.0 * k)
+    val bucketed = bucketAssignments(df, idCol, vecCol, dim, np,
+      nTables, seed, stagingDir, "lsh_buckets")
+    lshTopKFromBuckets(df, idCol, vecCol, bucketed, k)
+  }
+
+  /** [[lshTopK]] from pre-staged bucket assignments (id, t, b). */
+  def lshTopKFromBuckets(df: DataFrame, idCol: String, vecCol: String,
+                         bucketed: DataFrame, k: Int): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     // candidate pairs are deduped NARROW (ids only) before vectors are
     // re-attached — carrying vectors through the nTables-way bucket join
     // and deduping wide rows shuffles dim×nTables more bytes
-    val bucketed = bucketAssignments(df, idCol, vecCol, dim, np,
-      nTables, seed, stagingDir, "lsh_buckets")
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.id") =!= col("y.id"))
@@ -289,10 +345,17 @@ object Similarity {
                      nTables: Int = 12, seed: Long = 42,
                      stagingDir: Option[String] = None): DataFrame = {
     val np = if (nPlanes > 0) nPlanes else autoPlanes(df, 16.0)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"))
     val bucketed = bucketAssignments(df, idCol, vecCol, dim, np,
       nTables, seed, stagingDir, "lsh_pair_buckets")
+    cosinePairsLshFromBuckets(df, idCol, vecCol, bucketed, threshold)
+  }
+
+  /** [[cosinePairsLsh]] from pre-staged bucket assignments. */
+  def cosinePairsLshFromBuckets(df: DataFrame, idCol: String,
+                                vecCol: String, bucketed: DataFrame,
+                                threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.id") < col("y.id"))

@@ -37,9 +37,11 @@ object UrlNorm {
     ("[?&]utm_[A-Za-z0-9_]*=[^&#]*$", ""),
     // 3c. a now-empty query
     ("[?]$", ""),
-    // 4. default ports
-    ("^(http)://([^/:]+):80(/|$)", "$1://$2$3"),
-    ("^(https)://([^/:]+):443(/|$)", "$1://$2$3"),
+    // 4. default ports (the port may be followed by a path, a query —
+    //    `http://h.org:80?a=1` — or nothing at all; `$3` re-emits the
+    //    captured separator)
+    ("^(http)://([^/:]+):80(/|[?]|$)", "$1://$2$3"),
+    ("^(https)://([^/:]+):443(/|[?]|$)", "$1://$2$3"),
     // 5. trailing slash on a non-root path
     ("^([a-z]+://[^/]+/.+)/$", "$1"))
 
@@ -59,12 +61,24 @@ object UrlNorm {
 
   /** adds url_norm, host, and domain (last two host labels — a
     * registrable-domain approximation good enough for per-site
-    * grouping without a public-suffix list). */
+    * grouping without a public-suffix list).
+    *
+    * Scheme-less strings (no `scheme://` prefix — a crawl's malformed
+    * rows) pass through COMPLETELY unchanged: every step, not just the
+    * lowercasing one, is gated on a parsed scheme, so `not a url #x`
+    * keeps its `#x` instead of spuriously merging with `not a url`
+    * under dedup-by-url_norm. */
   def normalize(df: DataFrame, idCol: String, urlCol: String)
       : DataFrame = {
-    val normed = steps.foldLeft(lowerSchemeHost(col(urlCol))) {
+    // build the chain from col("url") AFTER the rename below, so any
+    // caller-side column name works (building from col(urlCol) would
+    // fail analysis once the select renames it away)
+    val u = col("url")
+    val scheme = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val stepped = steps.foldLeft(lowerSchemeHost(u)) {
       case (c, (re, repl)) => regexp_replace(c, re, repl)
     }
+    val normed = when(scheme === "", u).otherwise(stepped)
     val host = regexp_extract(col("url_norm"), "^[a-z]+://([^/?#:]*)", 1)
     df.select(col(idCol).as("id"), col(urlCol).as("url"))
       .withColumn("url_norm", normed)
@@ -87,7 +101,7 @@ object UrlNorm {
          |   lower(regexp_extract($expr0, '$hostRe', 1)) ||
          |   regexp_replace($expr0, '$headRe', '')
          | END""".stripMargin.replace("\n", " ")
-    steps.foldLeft(lowered) { case (e, (re, repl)) =>
+    val stepped = steps.foldLeft(lowered) { case (e, (re, repl)) =>
       // DuckDB backreference syntax is \1 (RE2), not $1; and DuckDB
       // regexp_replace is FIRST-match unless passed 'g' — Spark's is
       // always global, and the utm-run rule can match several times
@@ -95,5 +109,9 @@ object UrlNorm {
       val r = repl.replace("$", "\\")
       s"regexp_replace($e, '$re', '$r', 'g')"
     }
+    // mirror the Spark side's whole-chain scheme gate (see normalize):
+    // scheme-less rows pass through untouched by EVERY step
+    s"""CASE WHEN regexp_extract($expr0, '$schemeRe', 1) = ''
+       | THEN $expr0 ELSE $stepped END""".stripMargin.replace("\n", " ")
   }
 }

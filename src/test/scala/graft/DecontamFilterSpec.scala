@@ -63,6 +63,48 @@ class DecontamFilterSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminate: bloom probe is native Catalyst — no Scala UDF " +
+      "in the plan, might_contain + bloom_filter_agg present") {
+    val train = Seq((1L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "a b c d e f g h i j"))
+      .toDF("eval_id", "eval_text")
+    val df = Decontaminate.overlapBloom(train, ev, "doc_id", "text",
+      "eval_id", "eval_text", n = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"native probe missing from plan:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF found in plan:\n$plan")
+    // the filter itself is built by the native aggregate, planned as a
+    // scalar subquery feeding the probe
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    assert(analyzed.contains("bloom_filter_agg"),
+      s"native bloom_filter_agg missing:\n$analyzed")
+  }
+
+  test("gram cache: withGramCache releases every projection persisted " +
+      "during the pass; release() clears strays") {
+    import graft.pipeline.GramCache
+    val base = GramCache.activeCount
+    val train = (1 to 30).map(i => (i.toLong,
+      s"tok${i % 7} a b c d e f tok${i % 5} g h i j")).toDF("doc_id", "text")
+    val ev = Seq((100L, "a b c d e f g h i j")).toDF("eval_id", "eval_text")
+    GramCache.withGramCache {
+      // three tracked persist sites in one pass
+      Dedup.minhashLshPairs(train, "doc_id", "text", n = 3).count()
+      Dedup.duplicateSpanCoverage(train, "doc_id", "text", k = 4).count()
+      Decontaminate.overlapBloom(train, ev, "doc_id", "text",
+        "eval_id", "eval_text", n = 8).count()
+      assert(GramCache.activeCount == base + 3)
+    }
+    assert(GramCache.activeCount == base)
+    // stray (unbracketed) pass → release() reclaims it
+    Dedup.ngramJaccardPairs(train, "doc_id", "text", n = 3).count()
+    assert(GramCache.activeCount == base + 1)
+    GramCache.release()
+    assert(GramCache.activeCount == 0)
+  }
+
   test("filter funnel: marginals, first-fail partition, kept row") {
     val df = Seq(
       (1L, 10),  // fails r0 only

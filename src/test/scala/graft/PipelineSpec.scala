@@ -185,6 +185,29 @@ class PipelineSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("IVF training sample auto-scales with the centroid request " +
+       "(≥20 vectors per centroid) instead of silently clamping at " +
+       "the sampleN default") {
+    // pure policy: the floor holds, the request scales past it
+    assert(Similarity.effectiveSampleN(10000, 100) == 10000)
+    assert(Similarity.effectiveSampleN(10000, 500) == 10000)
+    assert(Similarity.effectiveSampleN(10000, 50000) == 1000000)
+    // end-to-end: a centroid request ABOVE the caller's sampleN still
+    // trains the full complement (pre-fix: 100-vector sample → 100
+    // centroids for a 600-centroid request)
+    val dim = 4
+    val vec = array((0 until dim).map(d =>
+      (pmod(xxhash64(col("id"), lit(d)), lit(1000)) / lit(500.0) - 1.0)
+        .cast("float")): _*)
+    val df = spark.range(0, 3000, 1, 4)
+      .select(col("id").as("vec_id"), vec.as("embedding"))
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 600, sampleN = Similarity.effectiveSampleN(100, 600))
+    assert(cents.length == 600)
+    assert(cents.map(_.toSeq).distinct.length == 600,
+      "duplicate centroids — the trainer starved")
+  }
+
   test("minhash-LSH oracle precondition: recall == 1 on the driver " +
        "dataset (sf0.01)") {
     // the driver's dedup_minhash_lsh oracle asserts LSH == exact join;

@@ -202,6 +202,34 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(renorm.forall { case (_, n, u) => n == u })
   }
 
+  test("url normalize: caller column names other than 'url' resolve " +
+      "(the chain is built AFTER the rename); default port collapses " +
+      "before a query with empty path; scheme-less rows are untouched " +
+      "by EVERY step") {
+    val rows = Seq(
+      (1L, "http://h.org:80?a=1"),         // port directly before query
+      (2L, "https://h.org:443?a=1"),
+      (3L, "http://h.org:80"),             // port at end of string
+      (4L, "not a url #x"),                // scheme-less: fragment kept
+      (5L, "plain?utm_a=1&b=2")            // scheme-less: utm kept
+    ).toDF("the_doc", "page_url")          // non-default column names
+    val out = UrlNorm.normalize(rows, "the_doc", "page_url").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("url_norm")).toMap
+    assert(out(1L) == "http://h.org?a=1")
+    assert(out(2L) == "https://h.org?a=1")
+    assert(out(3L) == "http://h.org")
+    assert(out(4L) == "not a url #x")
+    assert(out(5L) == "plain?utm_a=1&b=2")
+    // the cross-engine shared-constants check lives in the driver
+    // oracle (urlNormSql); here pin idempotency over the new cases
+    val renorm = UrlNorm.normalize(
+      UrlNorm.normalize(rows, "the_doc", "page_url")
+        .select(col("id").as("d"), col("url_norm").as("u")), "d", "u")
+      .collect().map(r => (r.getAs[String]("url_norm"),
+        r.getAs[String]("url")))
+    assert(renorm.forall { case (n, u) => n == u })
+  }
+
   test("url dedup: normalization groups raw-distinct twins") {
     val rows = Seq(
       (3L, "http://plain-3.com/path?a=3&utm_x=9"),
