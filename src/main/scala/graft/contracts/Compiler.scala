@@ -238,7 +238,7 @@ object Compiler {
         val v = firstViol(inner, dt, col, f)
         when(v.isNotNull, renameExpected(v, f, name))
 
-      case fr: ForwardRefC => firstViol(fr.resolved, dt, col, f)
+      case fr: CyclicC => firstViol(fr.resolved, dt, col, f)
 
       case OptionalC(inner) =>
         // null short-circuits the whole check (contract.impl.js:31-32)
@@ -569,7 +569,7 @@ object Compiler {
     case Renamed(inner, name) =>
       transform(allViols(inner, dt, col, f), v =>
         renameExpected(v, f, name))
-    case fr: ForwardRefC => allViols(fr.resolved, dt, col, f)
+    case fr: CyclicC => allViols(fr.resolved, dt, col, f)
     case AndC(branches, silent) =>
       val vs = branches.zipWithIndex.map { case (b, i) =>
         val bf = if (silent) f else f.push(lit(s".and($i)"),

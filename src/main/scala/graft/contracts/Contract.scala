@@ -35,6 +35,13 @@ sealed trait Contract {
     case o: OptionalC => o
     case c            => OptionalC(c)
   }
+  /** the reference's wrapping flag (contract.impl.js:137): true only
+    * for contracts that must intercept calls (function contracts). All
+    * data-plane contracts check values, never wrap calls — function
+    * contracts live driver-side in [[ContractRegistry]] — so this is
+    * false throughout the ADT; [[CyclicC]]'s close-cycle guard compares
+    * against it exactly like the reference (:489-494). */
+  def needsWrapping: Boolean = false
 }
 
 /** accepts everything — contract.impl.js:281-282. Never renamed in the
@@ -184,16 +191,43 @@ final case class Renamed(inner: Contract, newName: String)
   override def name = newName
 }
 
-/** forward reference enabling self-referential contracts
-  * (cyclic/forwardRef, contract.impl.js:484-511). Recursion is bounded by
-  * the finite input schema depth at compile time — Spark schemas are
-  * non-recursive, so unrolling always terminates. */
-final class ForwardRefC extends Contract {
+/** explicit `cyclic()` handle enabling self-referential contracts
+  * (contract.impl.js:484-503). `closeCycle(c)` installs the referent
+  * under the reference's wrapping-consistency guard (:489-494): the
+  * handle's declared needsWrapping must equal the closing contract's,
+  * else ContractLibraryError with the reference's exact wording.
+  * Recursion is bounded by the finite input schema depth at compile
+  * time — Spark schemas are non-recursive, so unrolling always
+  * terminates. */
+class CyclicC private[contracts] (
+    override val needsWrapping: Boolean,
+    refName: String = "cyclic") extends Contract {
   private var ref: Option[Contract] = None
-  def setRef(c: Contract): this.type = { ref = Some(c); this }
+  def closeCycle(c: Contract): this.type = {
+    if (needsWrapping != c.needsWrapping)
+      throw new ContractLibraryError(
+        s"$refName: A $refName() was started with needsWrapping=" +
+          s"$needsWrapping, but it was closed with a contract that " +
+          s"has needsWrapping=${c.needsWrapping}:\n${c.render}\n")
+    ref = Some(c)
+    this
+  }
   def resolved: Contract = ref.getOrElse(
-    throw new ContractLibraryError("forwardRef used before setRef"))
-  def render = "c.forwardRef"
+    throw new ContractLibraryError(s"$refName used before closeCycle"))
+  def render = s"c.$refName"
+}
+
+/** forward reference — `cyclic` pre-closed into non-wrapping mode with
+  * `setRef` in place of `closeCycle` (contract.impl.js:505-511: the
+  * reference builds forwardRef by passing cyclic a DEFINED argument,
+  * which its `!!_.isUndefined` quirk maps to needsWrapping=false). */
+final class ForwardRefC extends CyclicC(false, "forwardRef") {
+  def setRef(c: Contract): this.type = closeCycle(c)
+  override def resolved: Contract =
+    try super.resolved
+    catch { case _: ContractLibraryError =>
+      throw new ContractLibraryError("forwardRef used before setRef")
+    }
 }
 
 /** misuse of the engine's own builder API — ContractLibraryError,
@@ -264,6 +298,17 @@ object C {
     ObjectC(ListMap(fields: _*))
   }
   def forwardRef(): ForwardRefC = new ForwardRefC
+  /** explicit cyclic handle (contract.impl.js:484-503). The no-arg form
+    * is the reference's wrapping default (`!!_.isUndefined(arg)` is
+    * true only when the argument is OMITTED)… */
+  def cyclic(): CyclicC = new CyclicC(true)
+  /** …and, quirk-faithfully, ANY explicit argument — `cyclic(true)`
+    * included — yields needsWrapping=false in the reference. Mirrored
+    * verbatim; the argument's value is deliberately ignored. */
+  def cyclic(needsWrapping: Boolean): CyclicC = {
+    val _ = needsWrapping
+    new CyclicC(false)
+  }
 
   /** toContract promotion (contract.impl.js:227-263): contract→itself,
     * one-element Seq→array, scalar→value. Object auto-promotion is

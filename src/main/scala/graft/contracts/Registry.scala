@@ -17,7 +17,9 @@ final class ContractRegistry(val module: String) {
                    category: String, returns: Option[Contract] = None,
                    inputs: Seq[Contract] = Nil,
                    extra: Option[Contract] = None,
-                   inputNames: Seq[String] = Nil)
+                   inputNames: Seq[String] = Nil,
+                   thisC: Option[Contract] = None,
+                   isMethod: Boolean = false)
 
   private var entries: ListMap[String, Entry] = ListMap.empty
   private var categories: ListMap[String, String] = ListMap.empty
@@ -95,6 +97,48 @@ final class ContractRegistry(val module: String) {
 
   def inputNamesOf(name: String): Seq[String] =
     entries.get(name).map(_.inputNames).getOrElse(Nil)
+
+  /** declare the RECEIVER contract of the most recently registered
+    * multi-input member — the `thisArg` analog (function-contracts.js:
+    * 166-171): at call time the member's FIRST frame is the receiver,
+    * checked under the reference's `.this` stack item ("for the `this`
+    * argument of the call.", contract-errors.js:21) before the declared
+    * argument window applies to the rest. */
+  def thisArg(c: Contract): this.type = {
+    entries.lastOption match {
+      case Some((name, e)) if e.inputs.nonEmpty =>
+        entries += name -> e.copy(thisC = Some(c))
+        this
+      case _ => throw new ContractLibraryError(
+        "thisArg() requires a preceding registerMulti()")
+    }
+  }
+
+  /** `method(ths, {name: c}, …)` analog (function-contracts.js:437-451):
+    * a named-argument member whose receiver contract is mandatory, with
+    * the reference's construction guard — `ths` is typed Any ONLY to
+    * reproduce that guard's exact wording (including its "by got" typo)
+    * when handed a non-contract. */
+  def registerMethod(name: String, ths: Any,
+                     inputs: Seq[(String, Contract)], doc: String = "",
+                     category: String = ""): this.type = {
+    val thisContract = ths match {
+      case c: Contract => c
+      case other => throw new ContractLibraryError(
+        s"method: expected a Contract for the `this` argument, " +
+          s"by got ${Render.js(other)}\n")
+    }
+    registerNamed(name, inputs, doc, category)
+    entries += name -> entries(name).copy(thisC = Some(thisContract),
+      isMethod = true)
+    this
+  }
+
+  def thisOf(name: String): Option[Contract] =
+    entries.get(name).flatMap(_.thisC)
+
+  def isMethodOf(name: String): Boolean =
+    entries.get(name).exists(_.isMethod)
 
   /** declare the contract each EXTRA input beyond the declared window
     * must satisfy (the `extraArgs` analog, function-contracts.js:

@@ -76,6 +76,35 @@ object Publish {
     }.toMap
   }
 
+  /** the `in contract:` rendering of a registered multi-input member —
+    * the reference's function-contract toString (captured goldens
+    * arity_obj_arg_field, arity_extra_obj_field, fun_named_arg_field,
+    * method_render, fn_thisarg_render): positional
+    * `c.fn(argC, … -> resultC)`, named `c.fun({ name: argC }, … ->
+    * resultC)`, method `c.method(…)`; a declared receiver renders as
+    * the `this: <c>, ` prefix (function-contracts.js:362, :420);
+    * result defaults to c.any(); extras render in the reference's
+    * `...c.array(perItemC)` form. */
+  def fnRepr(reg: ContractRegistry, name: String): String = {
+    val declared = reg.inputsOf(name)
+    val inNames = reg.inputNamesOf(name)
+    val argsRepr =
+      if (inNames.nonEmpty)
+        declared.zip(inNames).map { case (c, n) =>
+          s"{ $n: ${c.render} }"
+        }.mkString(", ")
+      else declared.map(_.render).mkString(", ")
+    val ctor =
+      if (reg.isMethodOf(name)) "c.method"
+      else if (inNames.nonEmpty) "c.fun" else "c.fn"
+    val thisRepr = reg.thisOf(name).map(c => s"this: ${c.render}, ")
+      .getOrElse("")
+    s"$ctor($thisRepr$argsRepr" +
+      reg.extraOf(name).map(e => s"...c.array(${e.render})")
+        .getOrElse("") +
+      s" -> ${reg.returnsOf(name).map(_.render).getOrElse(AnyC.render)})"
+  }
+
   /** MULTI-INPUT member enforcement — the data-plane analog of the
     * reference's `c.fn(argC…)` arity window (function-contracts.js:
     * 28-67): each call supplies a Seq of input frames; the count is
@@ -119,29 +148,29 @@ object Publish {
       }
       val extraC = reg.extraOf(name).map(asObject(_, "extra inputs"))
       val retC = reg.returnsOf(name).map(asObject(_, "result"))
+      // receiver contract (thisArg / method, function-contracts.js:
+      // 166-171, :437-451): the call's FIRST frame is the receiver,
+      // checked under `.this`; the argument window applies to the rest
+      val thisC = reg.thisOf(name).map(asObject(_, "this"))
       val nReq = inCs.count(!_._2)
       val nDecl = inCs.size
-      // the reference's renderings (captured goldens
-      // arity_obj_arg_field, arity_extra_obj_field,
-      // fun_named_arg_field): positional `c.fn(argC, … -> resultC)`,
-      // named `c.fun({ name: argC }, … -> resultC)`, result defaulting
-      // to c.any(); extras render as the reference's
-      // `extraArgs(c.array(perItemC))` form with the "..." separator
       val inNames = reg.inputNamesOf(name)
-      val argsRepr =
-        if (inNames.nonEmpty)
-          declared.zip(inNames).map { case (c, n) =>
-            s"{ $n: ${c.render} }"
-          }.mkString(", ")
-        else declared.map(_.render).mkString(", ")
-      val ctor = if (inNames.nonEmpty) "c.fun" else "c.fn"
-      val fnRepr = s"$ctor($argsRepr" +
-        reg.extraOf(name).map(e => s"...c.array(${e.render})")
-          .getOrElse("") +
-        s" -> ${retC.map(_.render).getOrElse(AnyC.render)})"
+      val fnRepr = Publish.fnRepr(reg, name)
       val blame = s"broke the contract on `$name()`:"
       val fn = impl(name)
-      name -> { (dfs: Seq[DataFrame]) =>
+      name -> { (dfs0: Seq[DataFrame]) =>
+        // receiver first: checked under the `.this` frame, then the
+        // declared window applies to the remaining frames
+        val (recv, dfs) = thisC match {
+          case Some(tc) =>
+            if (dfs0.isEmpty) throw new ContractLibraryError(
+              s"`$name` declares a this-contract: the call must " +
+                "supply the receiver frame first")
+            (Seq(Validate.checkMemberOrThrow(dfs0.head, tc, idCol,
+              name, fnRepr, isResult = false, thisFrame = true)),
+              dfs0.tail)
+          case None => (Nil, dfs0)
+        }
         val m = dfs.size
         // checkOptionalArgumentCount, function-contracts.js:28-67 —
         // message text byte-matches the executed reference
@@ -165,7 +194,7 @@ object Publish {
               fnRepr, isResult = false,
               argFrame = Some((i - nDecl, true)))
         }
-        val out = fn(checked)
+        val out = fn(recv ++ checked)
         retC match {
           case Some(r) => Validate.checkMemberOrThrow(out, r, idCol,
             name, fnRepr, isResult = true)

@@ -174,7 +174,8 @@ object Validate {
                          member: String, fnRepr: String,
                          isResult: Boolean,
                          argFrame: Option[(Int, Boolean)] = None,
-                         argName: Option[String] = None)
+                         argName: Option[String] = None,
+                         thisFrame: Boolean = false)
       : DataFrame = {
     val blame =
       if (isResult) s"`$member()` broke its contract:"
@@ -200,6 +201,9 @@ object Validate {
         }
       case None if isResult => Frame.root.push(lit(".result"),
         lit("for the return value of the call."))
+      // receiver frame (stackContextItems.this, contract-errors.js:21)
+      case None if thisFrame => Frame.root.push(lit(".this"),
+        lit("for the `this` argument of the call."))
       case None => Frame.root
     }
     // The probe runs over an RDD ANALYSIS BARRIER, not the member's

@@ -198,6 +198,96 @@ class SurfaceSpec extends SparkTestBase {
     intercept[ContractLibraryError](C.forwardRef().resolved)
   }
 
+  // --- cyclic / closeCycle (contract.impl.js:484-503) ---
+  test("cyclic: closeCycle enforces the wrapping-consistency guard " +
+       "(reference bytes); quirk-faithful needsWrapping; non-wrapping " +
+       "handles close and validate like forwardRef") {
+    // !!_.isUndefined(arg): no arg → wrapping; ANY arg → non-wrapping
+    assert(C.cyclic().needsWrapping)
+    assert(!C.cyclic(true).needsWrapping)
+    assert(!C.cyclic(false).needsWrapping)
+    assert(!C.forwardRef().needsWrapping)
+    val e = intercept[ContractLibraryError](
+      C.cyclic().closeCycle(C.string))
+    assert(e.getMessage == golden("cyclic_close_mismatch"),
+      s"got:\n${e.getMessage}\nwant:\n${golden("cyclic_close_mismatch")}")
+    // a non-wrapping cyclic closes with a data contract and validates
+    val ref = C.cyclic(false)
+    val node: Contract = C.obj("v" -> C.number,
+      "next" -> C.optional(ref))
+    ref.closeCycle(node)
+    val df = fix("named_struct('v', 1, 'next', named_struct('v', 2)) as t")
+    assertPass(df, C.obj("t" -> node))
+    val bad = fix("named_struct('v', 1, 'next', named_struct('v', 's')) as t")
+    assertViol(bad, C.obj("t" -> node), ".t.next.v", "number", "'s'")
+    intercept[ContractLibraryError](C.cyclic(false).resolved)
+  }
+
+  // --- method / thisArg (function-contracts.js:437-451, :166-171) ---
+  test("registerMethod: receiver checked under the `.this` frame " +
+       "(reference bytes), c.method rendering, construction guard") {
+    val r = new ContractRegistry("graft.method1")
+    r.registerMethod("member", C.obj("sz" -> C.number),
+      Seq("s" -> C.obj("y" -> C.string)))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head)))
+    val badThis = fix("'oops' as sz").withColumn("id", lit(1))
+    val goodThis = fix("2.0 as sz").withColumn("id", lit(1))
+    val arg = fix("'ok' as y").withColumn("id", lit(1))
+    val e = intercept[ContractViolationException](
+      api("member")(Seq(badThis, arg)))
+    assert(e.getMessage == golden("method_this_field"),
+      s"got:\n${e.getMessage}\nwant:\n${golden("method_this_field")}")
+    assert(e.path == ".this.sz")
+    // good receiver flows through; impl sees receiver ++ args
+    assert(api("member")(Seq(goodThis, arg)).columns.contains("sz"))
+    // rendering parity (with .returns, like the captured golden)
+    val r2 = new ContractRegistry("graft.method2")
+    r2.registerMethod("m", C.obj("sz" -> C.number),
+        Seq("s" -> C.obj("y" -> C.string)))
+      .returns(C.obj("z" -> C.number))
+    assert(graft.engine.Publish.fnRepr(r2, "m") == golden("method_render"))
+    // construction guard: the reference's exact wording (incl. its
+    // "by got" typo) for a non-contract receiver
+    val g = intercept[ContractLibraryError](
+      r2.registerMethod("m2", 5, Seq("s" -> C.obj("y" -> C.string))))
+    assert(g.getMessage == golden("method_guard_noncontract"),
+      s"got:\n${g.getMessage}")
+  }
+
+  test("thisArg on a positional member: `.this` frame + c.fn(this: …) " +
+       "rendering (reference bytes); strict receiver extras render the " +
+       "this-frame long line") {
+    val r = new ContractRegistry("graft.method3")
+    r.registerMulti("member", Seq(C.obj("x" -> C.number)))
+      .thisArg(C.obj("sz" -> C.number))
+    assert(graft.engine.Publish.fnRepr(r, "member") ==
+      golden("fn_thisarg_render"))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head)))
+    val badThis = fix("'oops' as sz").withColumn("id", lit(1))
+    val arg = fix("1.0 as x").withColumn("id", lit(1))
+    val e = intercept[ContractViolationException](
+      api("member")(Seq(badThis, arg)))
+    assert(e.getMessage == golden("fn_thisarg_field"),
+      s"got:\n${e.getMessage}\nwant:\n${golden("fn_thisarg_field")}")
+    // strict receiver with an extra field: the violation sits AT the
+    // this frame, so its long line renders (reference bytes)
+    val rs = new ContractRegistry("graft.method4")
+    rs.registerMethod("member", C.obj("k" -> C.bool).strict,
+      Seq("s" -> C.obj("y" -> C.string)))
+    val apis = graft.engine.Publish.wrapAllMulti(rs, "no_id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head)))
+    val strictBad = fix("true as k, 1 as z")
+    val es = intercept[ContractViolationException](
+      apis("member")(Seq(strictBad, fix("'ok' as y"))))
+    assert(es.getMessage == golden("method_this_strict_extra"),
+      s"got:\n${es.getMessage}\nwant:\n${golden("method_this_strict_extra")}")
+  }
+
   // --- collect-all mode ---
   test("allViolations: every defect reported depth-first with seq") {
     val c = C.obj("o" -> C.obj("a" -> C.number, "b" -> C.string,
