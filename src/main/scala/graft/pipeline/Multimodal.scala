@@ -488,14 +488,43 @@ object Multimodal {
   case class Frame(media_id: String, frame_idx: Int, pts_ms: Long,
                    feature: Array[Float])
 
+  /** Pluggable per-frame PIXEL decode seam: the one stage of the video
+    * path this environment cannot make real (no codec ships in the
+    * container). A production JNI/FFmpeg/ONNX decoder drops in by
+    * implementing this single method; everything around it — the mvhd
+    * demux, the one-to-many frame explode, pts arithmetic, the typed
+    * Dataset[Frame] plumbing — is the real production contract and
+    * does not change with the decoder.
+    *
+    * Implementations must be Serializable (instances ride the task
+    * closure); heavyweight native state belongs in a lazy per-executor
+    * member, not the constructor. */
+  trait FrameDecoder extends Serializable {
+    /** pixel-level features of the frame at `ptsMs` of `payload`. */
+    def frameFeatures(payload: Array[Byte], ptsMs: Long): Array[Float]
+  }
+
+  /** ======= STUB ======= the default decoder: deterministic fake
+    * pixel features (hash of payload × pts). Clearly marked; frame
+    * COUNT and pts never come from here — they are demuxed from the
+    * real mvhd duration in [[sampleFrames]]. */
+  object StubFrameDecoder extends FrameDecoder {
+    def frameFeatures(payload: Array[Byte], ptsMs: Long): Array[Float] = {
+      val h = java.util.Arrays.hashCode(payload) ^ ptsMs.toInt
+      Array.tabulate(4)(i => math.floorMod(h * (i + 1), 1000) / 1000.0f)
+    }
+  }
+
   /** frame sampling for video payloads: one row per sampled frame at
     * `everyMs` spacing. For `video/mp4` the duration comes from the
     * REAL mvhd box parse ([[parseMp4]]) — genuine container demux;
     * other video mimes keep the length-derived fake duration. Per-frame
-    * FEATURES remain a ======= STUB ======= (pixel decode needs a
-    * codec); the one-to-many explode shape, deterministic pts and
-    * per-frame feature plumbing are the production contract. */
-  def sampleFrames(media: DataFrame, everyMs: Long = 1000)
+    * FEATURES come from the injected [[FrameDecoder]] (default: the
+    * marked stub — pixel decode needs a codec); the one-to-many explode
+    * shape, deterministic pts and per-frame feature plumbing are the
+    * production contract either way. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000,
+                   decoder: FrameDecoder = StubFrameDecoder)
       : Dataset[Frame] = {
     implicit val enc = Encoders.product[Frame]
     implicit val encIn = Encoders.product[MediaRow]
@@ -512,9 +541,8 @@ object Multimodal {
             java.util.Arrays.hashCode(r.payload)) % 10000)
         (0L until durationMs by everyMs).zipWithIndex.map {
           case (pts, idx) =>
-            val h = java.util.Arrays.hashCode(r.payload) ^ pts.toInt
-            Frame(r.media_id, idx, pts, Array.tabulate(4)(i =>
-              math.floorMod(h * (i + 1), 1000) / 1000.0f))
+            Frame(r.media_id, idx, pts,
+              decoder.frameFeatures(r.payload, pts))
         }
       }
   }

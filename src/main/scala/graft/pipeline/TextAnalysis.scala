@@ -167,7 +167,12 @@ object TextAnalysis {
   /** per-doc top-k salient terms by TF-IDF — the corpus-weighted term
     * profile used for topic balancing / near-dup triage in training
     * mixes. score = tf · ln(N / df), ROUNDED(4) before ranking so the
-    * rank order (score desc, term asc) is float-stable across engines.
+    * rank order (score desc, term asc) is float-stable across engines
+    * in practice — NOT a hard guarantee: engines round differently
+    * (BigDecimal HALF_UP vs FP) and ln implementations may differ by
+    * 1 ulp, so a score within 1 ulp of a .00005 boundary could flip
+    * the 4th decimal and a rank (see PLANS.md; the cross-engine fix,
+    * if ever hit, is a rank-only / 1-ulp-tolerant compare).
     *
     * Scale shape: one token explode → (doc, term) count with map-side
     * partial combine; the document-frequency table is vocab-sized, so

@@ -415,4 +415,34 @@ class PipelineSpec extends SparkTestBase {
     assert(gen.count() == docs.count())
     assert(gen.where(col("tg_en") < 0).count() == 0)
   }
+
+  test("multimodal: FrameDecoder is an injectable seam — a test " +
+       "decoder's features flow end-to-end while the demuxed frame " +
+       "count and pts stay mvhd-real") {
+    val media = Multimodal.withPayload(graft.gen.SpanGen.media(spark, 30))
+    val dflt = Multimodal.sampleFrames(media, everyMs = 1000).collect()
+    val injected = Multimodal.sampleFrames(media, everyMs = 1000,
+      PipelineSpecDecoders.PtsLenDecoder).collect()
+    def key(f: Multimodal.Frame) = (f.media_id, f.frame_idx, f.pts_ms)
+    // identical demux under either decoder: count/pts come from mvhd,
+    // never from the pixel stage
+    assert(dflt.map(key).toSet == injected.map(key).toSet)
+    assert(injected.nonEmpty)
+    injected.foreach { f =>
+      assert(f.feature.length == 2 &&
+        f.feature(0) == f.pts_ms.toFloat, s"injected decoder ignored: $f")
+    }
+    // the default (stub) decoder produces its own distinct shape —
+    // proof the injection actually switched implementations
+    assert(dflt.forall(_.feature.length == 4))
+  }
+}
+
+/** top-level so the decoder closure carries no outer test-class
+  * reference (FrameDecoder implementations must be Serializable). */
+object PipelineSpecDecoders {
+  object PtsLenDecoder extends graft.pipeline.Multimodal.FrameDecoder {
+    def frameFeatures(payload: Array[Byte], ptsMs: Long): Array[Float] =
+      Array(ptsMs.toFloat, payload.length.toFloat)
+  }
 }

@@ -755,6 +755,59 @@ class SurfaceSpec extends SparkTestBase {
       Set("2", "3"))
   }
 
+  test("streaming: kill mid-batch-write, resume — torn output is " +
+       "rewritten identically, completed batches never recomputed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skr").toString
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "lang")
+    val contract = C.obj("doc_id" -> C.integer,
+      "lang" -> C.oneOf("en", "fr"))
+    def start() = StreamingValidate.foreachBatchSink(df, contract,
+        "doc_id", tmp, "snap1")
+      .option("checkpointLocation", s"$tmp/_ckpt").start()
+    // batch 0 completes cleanly (output + manifest row), then the
+    // query dies
+    val q1 = start()
+    mem.addData((1L, "en"), (2L, "zz"))
+    q1.processAllAvailable()
+    q1.stop()
+    // simulate the kill window the Manifest contract names: batch 1's
+    // output dir TORN (partial/wrong bytes on disk) with NO manifest
+    // row — exactly what a mid-write kill leaves behind
+    Seq(("999", "torn", "torn", "torn", "torn"))
+      .toDF("doc_id", "path", "expected", "got", "message")
+      .write.mode("overwrite").parquet(s"$tmp/violations/part=1")
+    // sentinel inside batch 0's completed output: if resume recomputed
+    // batch 0, the overwrite would delete it
+    val sentinel = java.nio.file.Paths.get(s"$tmp/violations/part=0",
+      "_sentinel_not_recomputed")
+    java.nio.file.Files.createFile(sentinel)
+    // batch 1's data arrives; a NEW query resumes from the checkpoint
+    mem.addData((3L, "yy"), (4L, "fr"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // torn output rewritten: batch 1's rows equal the batch-mode
+    // validation of the same data, the planted garbage row is gone
+    val b1 = spark.read.parquet(s"$tmp/violations/part=1")
+    val expect = Validate.violations(
+      Seq((3L, "yy"), (4L, "fr")).toDF("doc_id", "lang"),
+      contract, "doc_id", "stream")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "path", "expected", "got", "message")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(norm(b1) == norm(expect))
+    assert(!b1.collect().exists(_.getString(0) == "999"))
+    // batch 0 untouched (manifest row made resume skip it)
+    assert(java.nio.file.Files.exists(sentinel))
+    val man = Manifest.load(spark, tmp)
+    assert(man.where(col("status") === "done")
+      .select("partition_id").distinct().count() == 2)
+  }
+
   // --- multi-input members: the arity-window analog of c.fn(argC, …)
   // (function-contracts.js:28-67). Goldens captured by EXECUTING the
   // reference; its "(contract was wrapped at: file:line)" line is a
