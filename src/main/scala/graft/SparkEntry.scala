@@ -841,9 +841,10 @@ object SparkEntry {
   }
 
   // planted crawl URLs, one spec for both engines (same Left(literal)
-  // / Right(modulus) encoding as piiPlants; variant = doc_id % 6):
+  // / Right(modulus) encoding as piiPlants; variant = doc_id % 7):
   // uppercase scheme/host, default + non-default ports, utm runs in
-  // every position, a trailing slash, and one malformed non-URL row
+  // every position, a trailing slash, one malformed non-URL row, and
+  // a raw-distinct twin of variant 3 (pairs up per doc_id mod 350)
   private val urlPlants: Seq[Seq[Either[String, Int]]] = Seq(
     Seq(Left("HTTPS://WWW.Example-"), Right(50),
       Left(".COM/path/"), Right(7),

@@ -229,4 +229,76 @@ final class ContractRegistry(val module: String) {
     (s"# Contracts — $module\n\n| name | category | contract | doc |\n" +
       "|---|---|---|---|\n" + rows.mkString("\n"))
   }
+
+  /** the rendered contract shown in docs/messages: single-input members
+    * render their contract; multi-input members render the reference's
+    * function-contract toString form (c.fn / c.fun / c.method with the
+    * `this:` prefix, `...extraArgs` and `-> result`). */
+  def renderOf(name: String): String = {
+    val e = entries(name)
+    if (e.inputs.isEmpty) {
+      val base = e.contract.render
+      e.returns.map(r => s"c.fun({ df: $base } -> ${r.render})")
+        .getOrElse(base)
+    } else {
+      val argsRepr =
+        if (e.inputNames.nonEmpty)
+          e.inputs.zip(e.inputNames)
+            .map { case (c, n) => s"{ $n: ${c.render} }" }.mkString(", ")
+        else e.inputs.map(_.render).mkString(", ")
+      val ctor =
+        if (e.isMethod) "c.method"
+        else if (e.inputNames.nonEmpty) "c.fun" else "c.fn"
+      val thisRepr = e.thisC.map(c => s"this: ${c.render}, ")
+        .getOrElse("")
+      s"$ctor($thisRepr$argsRepr" +
+        e.extra.map(x => s"...c.array(${x.render})").getOrElse("") +
+        s" -> ${e.returns.map(_.render).getOrElse(AnyC.render)})"
+    }
+  }
+
+  /** Standalone HTML docs — the generateHTML.js analog (:1-160 +
+    * resources/module.mustache): module title, one section per
+    * category (header + the category's own doc line; uncategorized
+    * members lead without a header, like the template's
+    * hasHeader:false block), and a name / rendered-contract / doc
+    * table per section. Original markup, not the reference's
+    * template — the parity surface is the INFORMATION rendered. */
+  def toHtml: String = {
+    def esc(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    def table(es: Seq[Entry]): String =
+      es.map { e =>
+        s"""<tr class="value"><td class="value-name">${esc(e.name)}</td>
+           |<td class="value-type"><code>${esc(renderOf(e.name))}</code></td>
+           |<td class="value-doc">${esc(e.doc)}</td></tr>""".stripMargin
+      }.mkString(
+        "<table class=\"values-table\">\n", "\n", "\n</table>")
+    val byCat = entries.values.toSeq.groupBy(_.category)
+    val uncat = byCat.getOrElse("", Nil)
+    val catOrder = categories.keys.toSeq ++
+      byCat.keys.filter(c => c.nonEmpty && !categories.contains(c))
+    val sections =
+      (if (uncat.nonEmpty) Seq(table(uncat)) else Nil) ++
+        catOrder.distinct.flatMap { cat =>
+          byCat.get(cat).filter(_.nonEmpty).map { es =>
+            s"""<h2 class="category">${esc(cat)}</h2>
+               |<p class="types-category-doc">${esc(
+                 categories.getOrElse(cat, ""))}</p>
+               |${table(es)}""".stripMargin
+          }
+        }
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(module)}</title>
+       |<style>
+       |body { max-width: 60em; margin: 2em auto; font-family: sans-serif; }
+       |code { background: #eef; padding: 0 3px; }
+       |table { border-collapse: collapse; }
+       |td { padding: 6px 12px; vertical-align: top; border-top: 1px solid #ccc; }
+       |</style></head>
+       |<body>
+       |<h1>${esc(module)}</h1>
+       |${sections.mkString("\n")}
+       |</body></html>""".stripMargin
+  }
 }

@@ -59,11 +59,9 @@ object Publish {
       val retC = reg.returnsOf(name).map(asObject(_, "result"))
       // `in contract:` rendering: the function-contract form when a
       // result contract exists (the reference renders
-      // `c.fun({ arg: ... } -> ...)`), else the input contract alone
-      val fnRepr = retC match {
-        case Some(r) => s"c.fun({ df: ${inC.render} } -> ${r.render})"
-        case None => inC.render
-      }
+      // `c.fun({ arg: ... } -> ...)`), else the input contract alone —
+      // one source of truth with the docs (Registry.renderOf)
+      val fnRepr = reg.renderOf(name)
       name -> { (df: DataFrame) =>
         val out = fn(Validate.checkMemberOrThrow(df, inC, idCol, name,
           fnRepr, isResult = false))
@@ -85,25 +83,8 @@ object Publish {
     * the `this: <c>, ` prefix (function-contracts.js:362, :420);
     * result defaults to c.any(); extras render in the reference's
     * `...c.array(perItemC)` form. */
-  def fnRepr(reg: ContractRegistry, name: String): String = {
-    val declared = reg.inputsOf(name)
-    val inNames = reg.inputNamesOf(name)
-    val argsRepr =
-      if (inNames.nonEmpty)
-        declared.zip(inNames).map { case (c, n) =>
-          s"{ $n: ${c.render} }"
-        }.mkString(", ")
-      else declared.map(_.render).mkString(", ")
-    val ctor =
-      if (reg.isMethodOf(name)) "c.method"
-      else if (inNames.nonEmpty) "c.fun" else "c.fn"
-    val thisRepr = reg.thisOf(name).map(c => s"this: ${c.render}, ")
-      .getOrElse("")
-    s"$ctor($thisRepr$argsRepr" +
-      reg.extraOf(name).map(e => s"...c.array(${e.render})")
-        .getOrElse("") +
-      s" -> ${reg.returnsOf(name).map(_.render).getOrElse(AnyC.render)})"
-  }
+  def fnRepr(reg: ContractRegistry, name: String): String =
+    reg.renderOf(name)
 
   /** MULTI-INPUT member enforcement — the data-plane analog of the
     * reference's `c.fn(argC…)` arity window (function-contracts.js:

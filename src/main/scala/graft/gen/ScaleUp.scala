@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private val KeyOff = 100000000L
+  /** per-copy key shift — public so tests/tools can slice copies. */
+  val KeyOff = 100000000L
 
   def scaleDir(s: SparkSession, srcDir: String, outDir: String,
                factor: Int): Unit = {

@@ -198,6 +198,37 @@ class SurfaceSpec extends SparkTestBase {
     intercept[ContractLibraryError](C.forwardRef().resolved)
   }
 
+  test("registry toHtml: the generateHTML analog renders module title, " +
+       "category sections with docs, and name/contract/doc rows — " +
+       "function members in their full fn-contract form, HTML escaped") {
+    val r = new ContractRegistry("graft.docs")
+    r.register("doc<row>", C.obj("x" -> C.number), "a <doc> line")
+    r.documentCategory("shapes", "the shape stuff")
+    r.register("span", C.obj("kind" -> C.oneOf("text", "image")),
+      "span shape")
+    r.registerMethod("validate", C.obj("sz" -> C.number),
+        Seq("docs" -> C.obj("y" -> C.string)), "the member",
+        category = "shapes")
+      .returns(C.obj("ok" -> C.bool))
+    val html = r.toHtml
+    assert(html.contains("<title>graft.docs</title>"))
+    assert(html.contains("<h1>graft.docs</h1>"))
+    // category header + its own doc line
+    assert(html.contains("<h2 class=\"category\">shapes</h2>"))
+    assert(html.contains("the shape stuff"))
+    // uncategorized entries lead without a header (reference
+    // hasHeader:false block); escaping applied to names and docs
+    assert(html.indexOf("doc&lt;row&gt;") <
+      html.indexOf("<h2 class=\"category\">"))
+    assert(html.contains("a &lt;doc&gt; line"))
+    // the method renders its full function-contract form
+    def esc4Test(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    assert(html.contains(esc4Test(
+      "c.method(this: c.object({sz: c.number}), " +
+        "{ docs: c.object({y: c.string}) } -> c.object({ok: c.bool}))")))
+  }
+
   // --- cyclic / closeCycle (contract.impl.js:484-503) ---
   test("cyclic: closeCycle enforces the wrapping-consistency guard " +
        "(reference bytes); quirk-faithful needsWrapping; non-wrapping " +
