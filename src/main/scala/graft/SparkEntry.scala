@@ -1184,6 +1184,12 @@ object SparkEntry {
         |    '[ ' || array_to_string(pair, ', ') || ' ]' AS got
         |  FROM s WHERE len(pair) < 2
         |  UNION ALL
+        |  -- positions beyond the data length are checked against
+        |  -- undefined (contract.impl.js:559-563): the size error does
+        |  -- not short-circuit the positional sweep in collect-all
+        |  SELECT id, 1, '.pair[1]', 'between(0, 9)', 'undefined'
+        |  FROM s WHERE len(pair) < 2
+        |  UNION ALL
         |  SELECT id, 1, '.pair[1]', 'between(0, 9)',
         |    CAST(pair[2] AS VARCHAR)
         |  FROM s WHERE len(pair) >= 2

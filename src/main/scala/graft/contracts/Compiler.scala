@@ -157,7 +157,11 @@ object Compiler {
     // caller-/callee-blame per the reference (contract-errors.js:163-169)
     val blame = env.blameLine.getOrElse(s"check on `${env.thing}` failed:")
     val kind = v.getField("kind")
-    val expectedLine = kind === "e" || kind === "t"
+    // kind "ts" = the STRICT tuple-size error: an .expected(...) error
+    // WITH fullContractAndValue (contract.impl.js:580-586), unlike the
+    // non-strict size error ("t", :550-556) which has neither clause —
+    // and exempt from rename (both wordings are hardcoded "tuple ...").
+    val expectedLine = kind === "e" || kind === "t" || kind === "ts"
     val head = when(expectedLine,
         concat(lit(blame + "\nExpected "), v.getField("expected"),
           lit(", but got "), v.getField("got"), lit("\n")))
@@ -304,29 +308,32 @@ object Compiler {
           // (contract.impl.js:550-556) → kind 't'
           val sizeViol = when(size(col) < n,
             viol(f, lit(s"tuple of size $n"), render(dt, col), "t"))
+          // strict checks EXACT size FIRST — its nestedChecker wraps the
+          // base one (contract.impl.js:578-590) — and the error carries
+          // fullContractAndValue (kind 'ts'), unlike the base size error
           val strictViol =
-            if (strict) when(size(col) > n,
-              viol(f, lit(s"tuple of exactly size $n"), render(dt, col)))
+            if (strict) when(size(col) =!= n,
+              viol(f, lit(s"tuple of exactly size $n"), render(dt, col),
+                "ts"))
             else nullViol
           when(col.isNull, viol(f, t.name, lit("null")))
-            .otherwise(coalesceAll(sizeViol +: posViols :+ strictViol))
+            .otherwise(coalesceAll(strictViol +: sizeViol +: posViols))
         case StructType(sfs) =>
-          // heterogeneous tuples land on structs
+          // heterogeneous tuples land on structs; the "length" is the
+          // static field count, so size errors are compile-time constants
           val n = items.size
-          if (sfs.length < n)
-            viol(f, lit(s"tuple of size $n"), render(dt, col), "t")
-          else {
-            val posViols = items.zipWithIndex.map { case (ic, i) =>
+          val body =
+            if (strict && sfs.length != n)
+              viol(f, lit(s"tuple of exactly size $n"), render(dt, col),
+                "ts")
+            else if (sfs.length < n)
+              viol(f, lit(s"tuple of size $n"), render(dt, col), "t")
+            else coalesceAll(items.zipWithIndex.map { case (ic, i) =>
               firstViol(ic, sfs(i).dataType, col.getField(sfs(i).name),
                 tupleFrame(f, i))
-            }
-            val strictViol =
-              if (strict && sfs.length > n)
-                viol(f, lit(s"tuple of exactly size $n"), render(dt, col))
-              else nullViol
-            when(col.isNull, viol(f, t.name, lit("null")))
-              .otherwise(coalesceAll(posViols :+ strictViol))
-          }
+            })
+          // null fails the firstChecker gate BEFORE any size check
+          when(col.isNull, viol(f, t.name, lit("null"))).otherwise(body)
         case _ => viol(f, t.name, render(dt, col))
       }
 
@@ -343,18 +350,23 @@ object Compiler {
 
       case o: ObjectC => dt match {
         case st: StructType =>
-          when(col.isNull, viol(f, "object", lit("null")))
+          when(col.isNull, viol(f, o.name, lit("null")))
             .otherwise(
               objectViols(o, st, fn => col.getField(fn), f, render(dt, col)))
         case MapType(StringType, vt, _) =>
-          // dynamic rows: declared fields looked up by key
+          // dynamic rows: declared fields looked up by key; strict
+          // extras are a RUNTIME key diff here, checked FIRST like the
+          // struct path (contract.impl.js:694-708 wraps the base checker)
           val checks = o.fields.toSeq.map { case (fname, fc) =>
             fieldCheck(fname, fc, vt, element_at(col, fname),
               Frame.field(f, fname), f, render(dt, col))
           }
-          when(col.isNull, viol(f, "object", lit("null")))
-            .otherwise(coalesceAll(checks))
-        case _ => viol(f, "object", render(dt, col))
+          val strictViol =
+            if (o.isStrict) mapStrictExtrasViol(o, col, f, render(dt, col))
+            else nullViol
+          when(col.isNull, viol(f, o.name, lit("null")))
+            .otherwise(coalesceAll(strictViol +: checks))
+        case _ => viol(f, o.name, render(dt, col))
       }
     }
 
@@ -371,8 +383,10 @@ object Compiler {
     * itself (same path, expected-template kinds). */
   private def renameExpected(v: Column, f: Frame, name: String): Column =
     struct(v.getField("path").as("path"),
-      when(v.getField("path") === f.path &&
-          (v.getField("kind") === "e" || v.getField("kind") === "t"),
+      // only the firstChecker GATE failure (kind e) carries the renamed
+      // contractName; tuple-size errors (kinds t/ts) hardcode "tuple of
+      // [exactly ]size N" regardless of rename (contract.impl.js:552,:584)
+      when(v.getField("path") === f.path && v.getField("kind") === "e",
         lit(name)).otherwise(v.getField("expected")).as("expected"),
       v.getField("got").as("got"), v.getField("kind").as("kind"),
       v.getField("frame_long").as("frame_long"),
@@ -438,12 +452,14 @@ object Compiler {
     val strictViol =
       if (o.isStrict) {
         // rejects undeclared fields, error lists them
-        // (contract.impl.js:691-719); static schema ⇒ compile-time diff
+        // (contract.impl.js:691-719); static schema ⇒ compile-time diff.
+        // strict's nestedChecker WRAPS the base one, so the extras check
+        // runs BEFORE required/field checks (contract.impl.js:694-708)
         val extra = st.fieldNames.filterNot(o.fields.keySet)
         if (extra.nonEmpty) strictExtrasViol(extra.toSeq, f, selfRender)
         else nullViol
       } else nullViol
-    coalesceAll(checks :+ strictViol)
+    coalesceAll(strictViol +: checks)
   }
 
   /** ``Field `x` required, got <render of the object>`` — raised at the
@@ -466,6 +482,25 @@ object Compiler {
       lit(extra.mkString("{", ", ", "}")), "x",
       concat(lit(s"Found the extra $label$names in "), selfRender,
         lit("\n")))
+  }
+
+  /** runtime twin of [[strictExtrasViol]] for DYNAMIC (map-typed)
+    * objects: the undeclared-key diff happens per row, in the map's own
+    * key order (`_.difference(_.keys(data), …)` preserves data order,
+    * contract.impl.js:694). */
+  private def mapStrictExtrasViol(o: ObjectC, col: Column, f: Frame,
+                                  selfRender: Column): Column = {
+    val declared = o.fields.keys.toSeq
+    val extras = filter(map_keys(col),
+      k => !coalesce(k.isin(declared.map(lit): _*), lit(false)))
+    val names = array_join(
+      transform(extras, k => concat(lit("`"), k, lit("`"))), ", ")
+    val label = when(size(extras) === 1, "field ").otherwise("fields ")
+    when(size(extras) > 0,
+      viol(f, lit("object with no extra fields"),
+        concat(lit("{"), array_join(extras, ", "), lit("}")), "x",
+        concat(lit("Found the extra "), label, names, lit(" in "),
+          selfRender, lit("\n"))))
   }
 
   /** one declared field: required-unless-optional; a NULL value on a
@@ -620,8 +655,10 @@ object Compiler {
               array(strictExtrasViol(extra.toSeq, f, selfRender))
             else emptyViols
           } else emptyViols
-        val fieldsAll = (checks :+ strictViols).reduce(concat(_, _))
-        when(col.isNull, array(viol(f, "object", lit("null"))))
+        // strict extras FIRST (the wrapping nestedChecker,
+        // contract.impl.js:694-708), then fields in declaration order
+        val fieldsAll = (strictViols +: checks).reduce(concat(_, _))
+        when(col.isNull, array(viol(f, o.name, lit("null"))))
           .otherwise(fieldsAll)
       case MapType(StringType, vt, _) =>
         // dynamic (map-typed) rows recurse declared fields like the
@@ -644,9 +681,12 @@ object Compiler {
                 .otherwise(allViols(fc, vt, child, childF))
           }
         }
-        when(col.isNull, array(viol(f, "object", lit("null"))))
-          .otherwise(checks.reduceOption(concat(_, _))
-            .getOrElse(emptyViols))
+        val strictViols =
+          if (o.isStrict)
+            asArray(mapStrictExtrasViol(o, col, f, selfRender))
+          else emptyViols
+        when(col.isNull, array(viol(f, o.name, lit("null"))))
+          .otherwise((strictViols +: checks).reduce(concat(_, _)))
       case _ =>
         // inside an or-branch the reference's collecting fail gathers
         // BOTH the firstChecker failure and, since nestedChecker still
@@ -659,7 +699,7 @@ object Compiler {
             requiredViol(fname, Frame.field(f, fname), f, selfRender,
               render(dt, col))
         }
-        concat(array((viol(f, "object", render(dt, col)) +: reqs): _*))
+        concat(array((viol(f, o.name, render(dt, col)) +: reqs): _*))
     }
     case h @ HashC(valueC) => dt match {
       case MapType(_, vt, _) =>
@@ -668,9 +708,78 @@ object Compiler {
             allViols(valueC, vt, e.getField("value"), hashFrame(f, e)))))
       case _ => asArray(firstViol(h, dt, col, f))
     }
-    // leaves, or, tuple, preds: single-violation nodes
+    case t @ TupleC(items, strict) => dt match {
+      case ArrayType(et, _) =>
+        val n = items.size
+        // the reference's collecting fail gathers, in checker order:
+        // the strict exactly-size error (wrapping nestedChecker,
+        // contract.impl.js:578-590), the base size error when shorter
+        // (:550-556), then EVERY position's failures — positions beyond
+        // the data's length are checked against `undefined`
+        // (`_.zip(contracts, data.slice(0, k))`, :559-563), whose gate
+        // failures render "but got undefined". (Nested SHAPE contracts
+        // on an undefined position TypeError in the reference — not a
+        // ContractError — so only leaf-level behavior is defined.)
+        val strictViols =
+          if (strict) asArray(when(size(col) =!= n,
+            viol(f, lit(s"tuple of exactly size $n"), render(dt, col),
+              "ts")))
+          else emptyViols
+        val sizeViols = asArray(when(size(col) < n,
+          viol(f, lit(s"tuple of size $n"), render(dt, col), "t")))
+        val posViols = items.zipWithIndex.map { case (ic, i) =>
+          val frame = tupleFrame(f, i)
+          val undef = transform(
+            allViols(ic, et, lit(null).cast(et), frame), undefine(_))
+          when(lit(i) < size(col),
+            allViols(ic, et, get(col, lit(i)), frame))
+            .otherwise(undef)
+        }
+        when(col.isNull, array(viol(f, t.name, lit("null"))))
+          .otherwise((strictViols +: sizeViols +: posViols)
+            .reduce(concat(_, _)))
+      case StructType(sfs) =>
+        val n = items.size
+        val strictViols =
+          if (strict && sfs.length != n)
+            array(viol(f, lit(s"tuple of exactly size $n"),
+              render(dt, col), "ts"))
+          else emptyViols
+        val sizeViols =
+          if (sfs.length < n)
+            array(viol(f, lit(s"tuple of size $n"), render(dt, col), "t"))
+          else emptyViols
+        val posViols = items.zipWithIndex.map { case (ic, i) =>
+          val frame = tupleFrame(f, i)
+          if (i < sfs.length)
+            allViols(ic, sfs(i).dataType, col.getField(sfs(i).name), frame)
+          else
+            transform(allViols(ic, sfs.headOption.map(_.dataType)
+              .getOrElse(StringType), lit(null).cast(StringType), frame),
+              undefine(_))
+        }
+        when(col.isNull, array(viol(f, t.name, lit("null"))))
+          .otherwise((strictViols +: sizeViols +: posViols)
+            .reduce(concat(_, _)))
+      case _ => asArray(firstViol(t, dt, col, f))
+    }
+    // leaves, or, preds: single-violation nodes
     case other => asArray(firstViol(other, dt, col, f))
   }
+
+  /** rewrites a violation raised against a missing (out-of-bounds) tuple
+    * position: the reference checks `undefined` there, which renders
+    * "undefined" where a SQL NULL renders "null". */
+  private def undefine(v: Column): Column =
+    struct(v.getField("path").as("path"),
+      v.getField("expected").as("expected"),
+      when(v.getField("got") === "null", "undefined")
+        .otherwise(v.getField("got")).as("got"),
+      v.getField("kind").as("kind"),
+      v.getField("frame_long").as("frame_long"),
+      v.getField("ppath").as("ppath"),
+      regexp_replace(v.getField("ctx"), ", got null", ", got undefined")
+        .as("ctx")).cast(violType)
 
   // ---------------------------------------------------------------------
   // deterministic value rendering (`got` / full-value strings) —

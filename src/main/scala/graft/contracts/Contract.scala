@@ -152,7 +152,9 @@ final case class TupleC(items: Seq[Contract], isStrict: Boolean = false)
   def render =
     if (isStrict) "c.tuple.strict"
     else s"c.tuple(${items.map(_.render).mkString(", ")})"
-  override def name = "tuple"
+  // strict() also changes the contractName used by firstChecker gate
+  // messages: "Expected tuple.strict, but got null" (contract.impl.js:597)
+  override def name = if (isStrict) "tuple.strict" else "tuple"
   def strict: TupleC = copy(isStrict = true)
 }
 
@@ -175,7 +177,9 @@ final case class ObjectC(fields: ListMap[String, Contract],
     if (isStrict) "c.object.strict"
     else s"c.object({${fields.map { case (k, v) => s"$k: ${v.render}" }
       .mkString(", ")}})"
-  override def name = "object"
+  // ...and the contractName with it: gate failures on a strict object
+  // read "Expected object.strict, but got null" (contract.impl.js:718)
+  override def name = if (isStrict) "object.strict" else "object"
   /** merged field map, persistent update — contract.impl.js:683-689 */
   def extend(more: (String, Contract)*): ObjectC =
     copy(fields = fields ++ ListMap(more: _*))
@@ -285,7 +289,17 @@ object C {
   def silentAnd(cs: Contract*): Contract = AndC(cs, silent = true)
   def or(cs: Contract*): Contract = {
     if (cs.isEmpty) throw new ContractLibraryError("or requires branches")
-    OrC(cs)
+    // the reference unions its branch lists with _.union, which dedups
+    // by OBJECT IDENTITY (contract.impl.js:437): two references to the
+    // same singleton (c.truthy, c.truthy) collapse to one branch, while
+    // two separately-constructed but equal contracts stay distinct.
+    // Scala case classes are structurally equal, so dedup must be
+    // reference-based (eq) to match.
+    val seen = new java.util.IdentityHashMap[Contract, Unit]
+    val distinct = cs.filter { c =>
+      if (seen.containsKey(c)) false else { seen.put(c, ()); true }
+    }
+    OrC(distinct)
   }
   def optional(c: Contract): Contract = c.optional
   def array(item: Contract): Contract = ArrayC(item)

@@ -548,13 +548,17 @@ class EngineSpec extends SparkTestBase {
         r.getString(4)))
     assert(zero == Seq(
       (0, ".pair", "tuple of size 2", "[ 1 ]"),
-      (1, ".trip", "tuple of exactly size 1", "[ 'a', 'extra' ]"),
-      (2, ".attrs.bad", "between(0, 100)", "500"),
-      (3, ".meta.lang", "oneOf(en, es)", "'xx'"),
-      (4, ".tag", "truthy", "''")), s"id=0 violations were $zero")
-    // single-defect rows: exactly one violation at seq 0
+      // the size error does not short-circuit the positional sweep:
+      // position 1 is checked against undefined (contract.impl.js:559-563)
+      (1, ".pair[1]", "between(0, 9)", "undefined"),
+      (2, ".trip", "tuple of exactly size 1", "[ 'a', 'extra' ]"),
+      (3, ".attrs.bad", "between(0, 100)", "500"),
+      (4, ".meta.lang", "oneOf(en, es)", "'xx'"),
+      (5, ".tag", "truthy", "''")), s"id=0 violations were $zero")
+    // short-pair rows: the size error plus the undefined position-1 check
     assert(out.filter(_.getString(0) == "97").toSeq
-      .map(r => (r.getInt(1), r.getString(2))) == Seq((0, ".pair")))
+      .map(r => (r.getInt(1), r.getString(2))) ==
+      Seq((0, ".pair"), (1, ".pair[1]")))
     // missing required key on a map-typed object renders got=null
     assert(out.filter(_.getString(0) == "71").toSeq
       .map(r => (r.getInt(1), r.getString(2), r.getString(4))) ==

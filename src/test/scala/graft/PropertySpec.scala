@@ -143,6 +143,35 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("collect-all tuple: size errors do not short-circuit positions; " +
+       "missing positions are checked against undefined") {
+    // the reference's collecting fail gathers, in checker order: the
+    // strict exactly-size error, the base size error (shorter only),
+    // then EVERY position — out-of-bounds positions check `undefined`
+    // (contract.impl.js:559-563,578-590); fuzz cases fz* pinned this.
+    def rows(sql: String, c: ObjectC): Seq[(String, String, String)] = {
+      val df = fix(sql).withColumn("id", lit(0))
+      graft.engine.ViolationOps.allViolations(df, c, "id")
+        .orderBy("seq").collect()
+        .map(r => (r.getAs[String]("path"), r.getAs[String]("expected"),
+          r.getAs[String]("got"))).toSeq
+    }
+    val strictC = C.obj("pair" -> C.tuple(C.integer, C.integer).strict)
+    // short + strict: exactly-size, then size, then position 1 vs undefined
+    assert(rows("array(5L) as pair", strictC) == Seq(
+      (".pair", "tuple of exactly size 2", "[ 5 ]"),
+      (".pair", "tuple of size 2", "[ 5 ]"),
+      (".pair[1]", "integer", "undefined")))
+    // long + strict: exactly-size only — both positions pass
+    assert(rows("array(1L, 2L, 3L) as pair", strictC) == Seq(
+      (".pair", "tuple of exactly size 2", "[ 1, 2, 3 ]")))
+    // short + non-strict: size, then the undefined positional sweep
+    val looseC = C.obj("pair" -> C.tuple(C.integer, C.integer))
+    assert(rows("array(5L) as pair", looseC) == Seq(
+      (".pair", "tuple of size 2", "[ 5 ]"),
+      (".pair[1]", "integer", "undefined")))
+  }
+
   test("property: optional ≡ null-tolerance for every leaf family") {
     import spark.implicits._
     val leaves: Seq[Contract] = Seq(C.string, C.number, C.integer,
