@@ -140,17 +140,18 @@ object Publish {
       val blame = s"broke the contract on `$name()`:"
       val fn = impl(name)
       name -> { (dfs0: Seq[DataFrame]) =>
-        // receiver first: checked under the `.this` frame, then the
-        // declared window applies to the remaining frames
-        val (recv, dfs) = thisC match {
-          case Some(tc) =>
+        // the receiver frame is supplied first, but the COUNT check runs
+        // before the receiver check — the reference's wrapper calls
+        // checkOptionalArgumentCount before it checks `this`
+        // (function-contracts.js:94-101 vs :115-120), so a call that is
+        // both mis-counted and mis-received reports the count error
+        val dfs = thisC match {
+          case Some(_) =>
             if (dfs0.isEmpty) throw new ContractLibraryError(
               s"`$name` declares a this-contract: the call must " +
                 "supply the receiver frame first")
-            (Seq(Validate.checkMemberOrThrow(dfs0.head, tc, idCol,
-              name, fnRepr, isResult = false, thisFrame = true)),
-              dfs0.tail)
-          case None => (Nil, dfs0)
+            dfs0.tail
+          case None => dfs0
         }
         val m = dfs.size
         // checkOptionalArgumentCount, function-contracts.js:28-67 —
@@ -165,6 +166,12 @@ object Publish {
           s"Too few arguments, expected at least $nReq but got $m")
         else if (extraC.isEmpty && m > nDecl) countFail(
           s"Too many arguments, expected at most $nDecl but got $m")
+        val recv = thisC match {
+          case Some(tc) =>
+            Seq(Validate.checkMemberOrThrow(dfs0.head, tc, idCol,
+              name, fnRepr, isResult = false, thisFrame = true))
+          case None => Nil
+        }
         val checked = dfs.zipWithIndex.map { case (df, i) =>
           if (i < nDecl)
             Validate.checkMemberOrThrow(df, inCs(i)._1, idCol, name,

@@ -287,6 +287,24 @@ class SurfaceSpec extends SparkTestBase {
       s"got:\n${g.getMessage}")
   }
 
+  test("count check runs BEFORE the receiver check: a call that is " +
+       "both mis-counted and mis-received reports the count error " +
+       "(reference order, function-contracts.js:94-101 vs :115-120)") {
+    val r = new ContractRegistry("graft.methodOrder")
+    r.registerMethod("member", C.obj("sz" -> C.number),
+      Seq("docs" -> C.obj("x" -> C.number)))
+    val api = graft.engine.Publish.wrapAllMulti(r, "id")(Map(
+      "member" -> ((dfs: Seq[org.apache.spark.sql.DataFrame]) =>
+        dfs.head)))
+    val badThis = fix("'bad' as sz").withColumn("id", lit(1))
+    // receiver violates AND zero of one required argument supplied:
+    // executed-reference bytes (captured live) blame the count
+    val e = intercept[ContractViolationException](
+      api("member")(Seq(badThis)))
+    assert(e.getMessage == "broke the contract on `member()`: " +
+      "Wrong number of arguments, expected 1 but got 0\n")
+  }
+
   test("thisArg on a positional member: `.this` frame + c.fn(this: …) " +
        "rendering (reference bytes); strict receiver extras render the " +
        "this-frame long line") {
