@@ -207,9 +207,19 @@ object Compiler {
       case ValueC(v) =>
         Some(if (comparable(dt, v)) !(col <=> lit(v)) else lit(true))
       case OneOfC(vs) =>
-        Some(if (vs.forall(comparable(dt, _)))
-          col.isNull || !coalesce(col.isin(vs: _*), lit(false))
-        else lit(true))
+        // the reference passes when the value STRICTLY equals any listed
+        // candidate (_.contains, contract.impl.js:308-321): candidates of
+        // another type simply can't match — they must not fail the check
+        // wholesale for the comparable ones (fuzz fz848: oneOf(a, a, 10)
+        // vs 'a' passes); a null candidate matches a null value
+        val cmp = vs.filter(v => v != null && comparable(dt, v))
+        val hasNull = vs.contains(null)
+        val matches =
+          (if (cmp.nonEmpty)
+            col.isNotNull && coalesce(col.isin(cmp: _*), lit(false))
+          else lit(false)) ||
+            (if (hasNull) col.isNull else lit(false))
+        Some(!matches)
       case FalsyC => Some(!isFalsy(dt, col))
       case TruthyC => Some(isFalsy(dt, col))
       case MatchesC(re) => Some(dt match {
@@ -238,9 +248,17 @@ object Compiler {
       case Renamed(inner, name) =>
         // rename affects the display name in messages
         // (contract.impl.js:188-198): rewrite the `expected` field on
-        // violations raised BY this node (same path, kind e/t).
-        val v = firstViol(inner, dt, col, f)
-        when(v.isNotNull, renameExpected(v, f, name))
+        // violations raised BY this node (same path, kind e). A renamed
+        // SILENT and keeps its branch names — the branches are separate
+        // contract objects sharing the path (no `.and(i)` frame), so
+        // the rewrite must not touch them (fuzz fz1839:
+        // rename(silentAnd(value(42), any)) reports "Expected value(42)")
+        inner match {
+          case AndC(_, true) => firstViol(inner, dt, col, f)
+          case _ =>
+            val v = firstViol(inner, dt, col, f)
+            when(v.isNotNull, renameExpected(v, f, name))
+        }
 
       case fr: CyclicC => firstViol(fr.resolved, dt, col, f)
 
@@ -602,8 +620,12 @@ object Compiler {
       when(col.isNotNull, allViols(inner, dt, col, f))
         .otherwise(emptyViols)
     case Renamed(inner, name) =>
-      transform(allViols(inner, dt, col, f), v =>
-        renameExpected(v, f, name))
+      // silent-and branches keep their own names (see firstViol twin)
+      inner match {
+        case AndC(_, true) => allViols(inner, dt, col, f)
+        case _ => transform(allViols(inner, dt, col, f), v =>
+          renameExpected(v, f, name))
+      }
     case fr: CyclicC => allViols(fr.resolved, dt, col, f)
     case AndC(branches, silent) =>
       val vs = branches.zipWithIndex.map { case (b, i) =>
@@ -778,8 +800,14 @@ object Compiler {
       v.getField("kind").as("kind"),
       v.getField("frame_long").as("frame_long"),
       v.getField("ppath").as("ppath"),
-      regexp_replace(v.getField("ctx"), ", got null", ", got undefined")
-        .as("ctx")).cast(violType)
+      // ctx may embed a fully-assembled or-aggregation whose branch
+      // failures rendered the missing element as null — rewrite those
+      // "but got null" lines too (fz522/fz1682); "The full value…"
+      // renders the TUPLE, never bare null, so the pattern is precise
+      regexp_replace(
+        regexp_replace(v.getField("ctx"), ", got null", ", got undefined"),
+        "but got null\n", "but got undefined\n").as("ctx"))
+      .cast(violType)
 
   // ---------------------------------------------------------------------
   // deterministic value rendering (`got` / full-value strings) —

@@ -30,7 +30,8 @@ function mulberry32(seed) {
     return ((t ^ (t >>> 14)) >>> 0) / 4294967296
   }
 }
-const R = mulberry32(40260818)
+const SEED = parseInt(process.argv[2] || '40260818', 10)
+const R = mulberry32(SEED)
 const ri = n => Math.floor(R() * n)
 const pick = a => a[ri(a.length)]
 const chance = p => R() < p
@@ -106,9 +107,12 @@ function buildRef(a) {
 // ---------- values tracking a contract (mostly conforming, planted noise) --
 const sq = s => `'${s}'`
 
-function leafValue(a, noisy) {
-  const wrong = noisy && chance(0.18)
-  const ty = wrong ? pick(['str', 'long', 'dbl', 'bool']) : a.ty
+function leafValue(a, noisy, forcedTy) {
+  // a forced type that differs from the contract's natural type counts
+  // as "wrong": value/oneOf literals must not leak their own type into
+  // a homogeneous array of another type
+  const wrong = forcedTy ? forcedTy !== a.ty : noisy && chance(0.18)
+  const ty = forcedTy || (wrong ? pick(['str', 'long', 'dbl', 'bool']) : a.ty)
   if (noisy && chance(0.1)) {
     const ddl = { str: 'STRING', long: 'INT', dbl: 'DOUBLE', bool: 'BOOLEAN' }[ty]
     return { js: null, sql: `CAST(NULL AS ${ddl})` }
@@ -142,8 +146,12 @@ function valueFor(a, noisy) {
         const ddl = { str: 'STRING', long: 'INT', dbl: 'DOUBLE', bool: 'BOOLEAN' }[a.c.ty] || 'STRING'
         return { js: [], sql: `CAST(array() AS ARRAY<${ddl}>)` }
       }
+      // Spark arrays are homogeneous: pick ONE element type for the
+      // whole array (possibly the wrong one), never mixed types
+      const ty = noisy && chance(0.18)
+        ? pick(['str', 'long', 'dbl', 'bool']) : a.c.ty
       const es = []
-      for (let i = 0; i < n; i++) es.push(leafValue(a.c, noisy && chance(0.4)))
+      for (let i = 0; i < n; i++) es.push(leafValue(a.c, noisy && chance(0.4), ty))
       return { js: es.map(e => e.js), sql: `array(${es.map(e => e.sql).join(', ')})` }
     }
     case 'object': {
@@ -274,9 +282,10 @@ function runRef(spec) {
 }
 
 // ---------- main ----------
+const N = parseInt(process.argv[3] || '300', 10)
 const out = []
 let no = 0, attempts = 0
-while (out.length < 300 && attempts < 5000) {
+while (out.length < N && attempts < N * 20) {
   attempts++
   const spec = genCase(no)
   let r

@@ -28,7 +28,8 @@ function mulberry32(seed) {
     return ((t ^ (t >>> 14)) >>> 0) / 4294967296
   }
 }
-const R = mulberry32(20260818)
+const SEED = parseInt(process.argv[2] || '20260818', 10)
+const R = mulberry32(SEED)
 const ri = n => Math.floor(R() * n)
 const pick = a => a[ri(a.length)]
 const chance = p => R() < p
@@ -232,7 +233,7 @@ function buildRef(a) {
 }
 
 // ---------- main loop ----------
-const N = 500
+const N = parseInt(process.argv[3] || '500', 10)
 const cases = []
 let attempts = 0
 while (cases.length < N && attempts < N * 40) {
