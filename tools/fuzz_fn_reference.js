@@ -218,7 +218,8 @@ function genCase(no) {
     let k = 1 + ri(nIn)
     for (let i = nIn - k; i < nIn; i++) inputs[i].optional = true
   }
-  const extras = kind === 'fn' && chance(0.25) ? objContract(0, false) : null
+  // extraArgs composes with every member kind in the reference
+  const extras = chance(0.25) ? objContract(0, false) : null
   const ths = kind === 'method' ? objContract(0, false)
     : (chance(0.2) ? objContract(0, false) : null)
   const rets = chance(0.4) ? objContract(1, false) : null
