@@ -226,8 +226,8 @@ object Compiler {
         case StringType => col.isNull || !coalesce(col.rlike(re), lit(false))
         case _ => lit(true)
       })
-      case PredC(_, fn) => Some(!coalesce(fn(col), lit(false)))
-      case PredUdfC(_, fn) =>
+      case PredC(_, fn, _) => Some(!coalesce(fn(col), lit(false)))
+      case PredUdfC(_, fn, _) =>
         val u = udf((v: Any) => fn(v))
         Some(!coalesce(u(col), lit(false)))
       case _ => None // shapes / combinators recurse
@@ -846,22 +846,25 @@ object Compiler {
         concat(lit("<binary "), substring(hex(col), 1, 16), lit(">"))
       case ArrayType(et, _) =>
         // inspect recurses `depth` levels below the top (util.inspect
-        // depth semantics: depth 0 still renders one level of braces)
-        if (depth < 0) lit("[Array]")
+        // depth semantics: depth 0 still renders one level of braces).
+        // EMPTY containers render as []/{} even past the cap — there is
+        // nothing to recurse into, and util.inspect special-cases them
+        // (node: inspect({kk:[{}]}, false, 1) = "{ kk: [ {} ] }").
+        if (depth < 0) when(size(col) === 0, "[]").otherwise("[Array]")
         else when(size(col) === 0, "[]").otherwise(
           concat(lit("[ "),
             array_join(transform(col, x => renderDepth(et, x, depth - 1)),
               ", ", "null"),
             lit(" ]")))
       case StructType(sfs) =>
-        if (depth < 0) lit("[Object]")
-        else if (sfs.isEmpty) lit("{}")
+        if (sfs.isEmpty) lit("{}")
+        else if (depth < 0) lit("[Object]")
         else concat(lit("{ "),
           concat_ws(", ", sfs.toSeq.map(sf => concat(lit(sf.name + ": "),
             renderDepth(sf.dataType, col.getField(sf.name), depth - 1))): _*),
           lit(" }"))
       case MapType(_, vt, _) =>
-        if (depth < 0) lit("[Object]")
+        if (depth < 0) when(size(col) === 0, "{}").otherwise("[Object]")
         else when(size(col) === 0, "{}").otherwise(
           concat(lit("{ "),
             array_join(transform(map_entries(col), e =>

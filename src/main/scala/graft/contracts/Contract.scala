@@ -96,17 +96,27 @@ final case class MatchesC(pattern: String) extends Contract {
 
 /** user predicate over the compiled Column — the `pred(fn)` escape hatch
   * (contract.impl.js:284-287). `fn` builds a *Catalyst expression* (stays
-  * inside codegen); for opaque closures use [[PredUdfC]]. */
-final case class PredC(predName: String, fn: Column => Column)
+  * inside codegen); for opaque closures use [[PredUdfC]].
+  *
+  * `anonymous` mirrors the reference's un-renamed `pred(fn)` quirk: the
+  * contractName is 'unamed-pred' (sic, contract.impl.js:285) so messages
+  * say "Expected unamed-pred", but toString APPENDS argument parens —
+  * `c.unamed-pred()` — because the name carries no args of its own
+  * (renaming drops the parens: `c.pred(fn).rename('big')` → `c.big`). */
+final case class PredC(predName: String, fn: Column => Column,
+                       anonymous: Boolean = false)
     extends Contract {
-  def render = s"c.$predName"
+  def render = if (anonymous) s"c.$predName()" else s"c.$predName"
+  override def name = predName
 }
 
 /** opaque Scala-closure predicate, compiled to a Scala UDF (blocks
   * pushdown — last resort, mirrors the reference's arbitrary JS pred). */
-final case class PredUdfC(predName: String, fn: Any => Boolean)
+final case class PredUdfC(predName: String, fn: Any => Boolean,
+                          anonymous: Boolean = false)
     extends Contract {
-  def render = s"c.$predName"
+  def render = if (anonymous) s"c.$predName()" else s"c.$predName"
+  override def name = predName
 }
 
 /** all pass, in order, fail on first, `.and(i)` path frame —
@@ -282,6 +292,12 @@ object C {
   }
   def matches(pattern: String): Contract = MatchesC(pattern)
   def pred(name: String)(fn: Column => Column): Contract = PredC(name, fn)
+  /** the reference's un-renamed `pred(fn)`: contractName 'unamed-pred'
+    * (sic), rendered `c.unamed-pred()` (contract.impl.js:284-287). */
+  def pred(fn: Column => Column): Contract =
+    PredC("unamed-pred", fn, anonymous = true)
+  def predUdf(fn: Any => Boolean): Contract =
+    PredUdfC("unamed-pred", fn, anonymous = true)
   def and(cs: Contract*): Contract = {
     if (cs.isEmpty) throw new ContractLibraryError("and requires branches")
     AndC(cs)

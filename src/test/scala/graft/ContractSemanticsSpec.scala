@@ -87,6 +87,24 @@ class ContractSemanticsSpec extends SparkTestBase {
     assertPass(fix("5 as x"), C.obj("x" -> gt3))
     assertViol(fix("2 as x"), C.obj("x" -> gt3), ".x", "gt3", "2")
   }
+  test("anonymous pred: 'unamed-pred' naming quirks (reference bytes, " +
+       "contract.impl.js:284-287)") {
+    val p = C.pred(c => c > 5)
+    assert(p.render == "c.unamed-pred()") // toString appends parens...
+    assert(p.name == "unamed-pred")       // ...the contractName has none
+    assertViol(fix("3 as x"), C.obj("x" -> p), ".x", "unamed-pred", "3")
+    assertPass(fix("7 as x"), C.obj("x" -> p))
+    // null fails the pred when it REACHES it (engine coalesce-null-fails
+    // rule; the reference closure sees null and its guard returns
+    // false). A null FIELD never reaches the pred — both engines raise
+    // `Field required` first — so route the null through an array
+    // element.
+    assertViol(fix("array(cast(null as int)) as x"),
+      C.obj("x" -> C.array(p)), ".x[0]", "unamed-pred", "null")
+    val big = p.rename("big") // rename DROPS the parens: c.big
+    assert(big.render == "c.big")
+    assertViol(fix("3 as x"), C.obj("x" -> big), ".x", "big", "3")
+  }
 
   // --- and (contract.spec.js:133-147; impl :384-410) ---
   test("and: first failing branch wins, .and(i) path frame") {

@@ -108,6 +108,31 @@ function genValue(t, nullable) {
 // ---------- contract ASTs, loosely aligned with a tree ----------
 const RE_POOL = ['^a', 'b$', '^[a-z]+$', '^x[0-9]+$', 'll', '^[0-9]+$', 'en']
 
+// cross-language pred pool: each entry has identical semantics as a JS
+// closure (run by the reference) and as a Catalyst Column expression
+// (FuzzParitySpec.predPool). typeof guards make the JS side total —
+// null/undefined fail instead of coercing ('' + null) or throwing
+// (null.length) — which matches the engine's coalesce(fn, false)
+// null-fails rule. Preds are only attached KIND-MATCHED to the value
+// tree (never through the cross-type leaf mismatch), so the Spark
+// column's static type always agrees with the typeof guard; within a
+// kind the pairs agree on the edge values in the pools (NaN: JS
+// NaN>5/NaN%2===0/NaN<0 are all false; Spark `<`/`%..=0` on NaN are
+// false too — gt5 is long-only because Spark's ORDERING treats NaN as
+// the largest double, so dbl NaN>5 would diverge).
+const PRED_POOL = {
+  gt5: { kinds: ['long'], fn: v => typeof v === 'number' && v > 5 },
+  neg: { kinds: ['long', 'dbl'], fn: v => typeof v === 'number' && v < 0 },
+  even: { kinds: ['long', 'dbl'], fn: v => typeof v === 'number' && v % 2 === 0 },
+  lenGt2: { kinds: ['str'], fn: v => typeof v === 'string' && v.length > 2 },
+  startsX: { kinds: ['str'], fn: v => typeof v === 'string' && v.startsWith('x') },
+  hasDigit: { kinds: ['str'], fn: v => typeof v === 'string' && /[0-9]/.test(v) },
+  isTrue: { kinds: ['bool'], fn: v => v === true },
+}
+const PREDS_BY_KIND = {}
+for (const [p, spec] of Object.entries(PRED_POOL))
+  for (const k of spec.kinds) (PREDS_BY_KIND[k] ||= []).push(p)
+
 function leafContract(kind) {
   switch (kind) {
     case 'str': return pick([
@@ -135,6 +160,11 @@ function genContract(tree, depth) {
   let base
   switch (tree.k) {
     case 'str': case 'long': case 'dbl': case 'bool': {
+      // anonymous pred leaf, always kind-matched (see PRED_POOL note)
+      if (chance(0.18)) {
+        base = { t: 'pred', p: pick(PREDS_BY_KIND[tree.k]) }
+        break
+      }
       // wrong-type leaf with prob 0.2 — cross-type failures
       const kind = chance(0.2) ? pick(['str', 'long', 'dbl', 'bool'])
         : tree.k
@@ -190,7 +220,8 @@ function genContract(tree, depth) {
     base = chance(0.5) ? { t: 'or', cs: [base, other] }
       : { t: 'or', cs: [other, base] }
   } else if (isLeafTree && chance(0.12)) {
-    const gate = leafContract(tree.k)
+    const gate = chance(0.3) ? { t: 'pred', p: pick(PREDS_BY_KIND[tree.k]) }
+      : leafContract(tree.k)
     base = { t: chance(0.3) ? 'silentAnd' : 'and', cs: [gate, base] }
   }
   if (chance(0.06)) base = { t: 'rename', name: 'myc', c: base }
@@ -228,6 +259,7 @@ function buildRef(a) {
       return a.strict ? oc.strict() : oc
     }
     case 'rename': return buildRef(a.c).rename(a.name)
+    case 'pred': return c.pred(PRED_POOL[a.p].fn)
   }
   throw new Error('bad ast ' + JSON.stringify(a))
 }
@@ -249,15 +281,24 @@ while (cases.length < N && attempts < N * 40) {
     ref = buildRef(ast)
     render = ref.toString()
   } catch (e) { continue } // construction-rejected shape; not a case
+  // inspection-depth axis: the global setErrorMessageInspectionDepth
+  // truncates deep values to [Object]/[Array] in BOTH the full-value
+  // section and the "but got" line (utils.js:53-63; default 5). The
+  // replay spec groups same-depth cases so the global knob is set once
+  // per group (matching the reference's global semantics).
+  const depth = chance(0.18) ? 1 + ri(3) : null
   let msg = null
+  if (depth !== null) c.setErrorMessageInspectionDepth(depth)
   try { ref.check(value.js, 'data') } catch (e) {
     if (e.name && e.name.indexOf('ContractError') < 0) continue
     msg = e.message
     if (msg.indexOf('\n  ') >= 0 || msg.length > 2000) continue // wrapped render
+  } finally {
+    if (depth !== null) c.setErrorMessageInspectionDepth(5)
   }
   cases.push({
     id: 'fz' + String(cases.length).padStart(3, '0'),
-    tree, sql: value.sql, ast, render, msg
+    tree, sql: value.sql, ast, render, msg, depth
   })
 }
 if (cases.length < N) {
