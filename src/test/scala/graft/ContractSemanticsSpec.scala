@@ -44,6 +44,26 @@ class ContractSemanticsSpec extends SparkTestBase {
       "'5'")
   }
 
+  test("value: NaN and signed-zero equality (reference-probed: " +
+       "underscore isEqual treats NaN ≡ NaN and -0 ≡ 0)") {
+    // the fuzz corpus cannot carry these — JSON serializes NaN as null
+    // — so they are pinned here against live reference probes. Spark's
+    // <=> agrees on both: NaN <=> NaN is true, -0.0 normalizes to 0.0.
+    val nanC = C.obj("x" -> C.value(Double.NaN))
+    assertPass(fix("double('NaN') as x"), nanC)
+    assertViol(fix("5.0d as x"), nanC, ".x", "value(NaN)", "5")
+    assertPass(fix("0.0d as x"), C.obj("x" -> C.value(-0.0)))
+    assertPass(fix("-0.0d as x"), C.obj("x" -> C.value(0.0)))
+    // Infinity is un-JSON-able too; reference probe: c.value(Infinity)
+    // renders bare, fails 5 with "Expected value(Infinity), but got 5"
+    val infC = C.obj("x" -> C.value(Double.PositiveInfinity))
+    assert(infC.fields.head._2.render == "c.value(Infinity)")
+    assertPass(fix("double('Infinity') as x"), infC)
+    assertViol(fix("5.0d as x"), infC, ".x", "value(Infinity)", "5")
+    assertPass(fix("double('-Infinity') as x"),
+      C.obj("x" -> C.value(Double.NegativeInfinity)))
+  }
+
   test("value/oneOf: temporal literals compare (not auto-fail)") {
     // mirrors contract.spec.js:86-93 with Date/Timestamp literals —
     // `value` accepts any literal (contract.impl.js:323-326)
