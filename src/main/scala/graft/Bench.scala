@@ -361,8 +361,8 @@ object Bench {
     val stageSec = time(SparkEntry.stageAll(spark, sfDir))
     // sentinel times: -3 excluded (quadratic audit), -2 budget-skipped,
     // -1 failed; the JSON reports the skip lists by name as well
-    def sweep(dir: String, excluded: Set[String] = Set.empty,
-              budget: Double = Double.MaxValue): Seq[(String, Double)] = {
+    def sweepOnce(dir: String, excluded: Set[String],
+                  budget: Double): Seq[(String, Double)] = {
       var elapsed = 0.0
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         if (excluded(name)) name -> -3.0
@@ -373,6 +373,27 @@ object Bench {
           catch { case _: Throwable => -1.0 }
           elapsed += math.max(secs, 0)
           name -> secs
+        }
+      }
+    }
+    // Per-query times are single-shot and unprotected against the
+    // host's minutes-scale contention bursts (the round-4 interrupted
+    // artifact recorded dedup_ngram_jaccard at 13.5s on sf0.1 vs 5.4s
+    // on the 10x replica of the same data — pure burst). Two full
+    // passes, per-query min: one quiet pass anywhere in the ~2-minute
+    // window yields the honest number, same discipline as the
+    // flagship's min-over-repeats.
+    def sweep(dir: String, excluded: Set[String] = Set.empty,
+              budget: Double = Double.MaxValue): Seq[(String, Double)] = {
+      val a = sweepOnce(dir, excluded, budget)
+      // second pass only when the first fit comfortably in half the
+      // budget — a slow host keeps the single-pass wall-clock bound
+      if (a.map(_._2).filter(_ >= 0).sum > budget / 2) a
+      else {
+        val b = sweepOnce(dir, excluded, budget)
+        a.zip(b).map { case ((name, ta), (_, tb)) =>
+          name ->
+            (if (ta < 0) tb else if (tb < 0) ta else math.min(ta, tb))
         }
       }
     }
