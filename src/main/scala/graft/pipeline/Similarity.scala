@@ -107,28 +107,54 @@ object Similarity {
       var r = rnd.nextDouble() * total; var i = 0
       while (i < xs.length - 1 && r > minD2(i)) { r -= minD2(i); i += 1 }
       cents(nc) = xs(i)
-      var j = 0
-      while (j < xs.length) {
-        val d = math.max(1.0 - dotv(cents(nc), xs(j)), 1e-12)
-        if (d < minD2(j)) minD2(j) = d
-        j += 1
+      val cNew = cents(nc)
+      // per-element min update: elements are independent, so chunks
+      // write disjoint ranges — parallel AND bit-identical
+      parChunks(xs.length) { (s, e) =>
+        var j = s
+        while (j < e) {
+          val d = math.max(1.0 - dotv(cNew, xs(j)), 1e-12)
+          if (d < minD2(j)) minD2(j) = d
+          j += 1
+        }
       }
       nc += 1
     }
     var cur = cents
+    val assign = new Array[Int](xs.length)
     (0 until iters).foreach { _ =>
+      val cs = cur
+      // the O(sampleN·kk·dim) hot loop — at the √n centroid default
+      // this is the trainer's whole cost (10⁸ vectors → nc 10⁴,
+      // sampleN 2·10⁵ → ~10¹² multiplies; single-threaded that is tens
+      // of driver-minutes). Only the per-sample ASSIGNMENT runs in
+      // parallel (independent per sample, disjoint writes); the FP
+      // accumulation below stays sequential in sample order, so the
+      // trained centroids are bit-identical to the single-threaded
+      // form no matter how many driver cores execute chunks.
+      parChunks(xs.length) { (s, e) =>
+        var xi = s
+        while (xi < e) {
+          val x = xs(xi)
+          var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
+          while (ci < kk) {
+            val sc = dotv(cs(ci), x)
+            if (sc > bestS) { bestS = sc; best = ci }
+            ci += 1
+          }
+          assign(xi) = best
+          xi += 1
+        }
+      }
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Int](kk)
-      xs.foreach { x =>
-        var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
-        while (ci < kk) {
-          val s = dotv(cur(ci), x)
-          if (s > bestS) { bestS = s; best = ci }
-          ci += 1
-        }
+      var xi = 0
+      while (xi < xs.length) {
+        val x = xs(xi); val best = assign(xi)
         counts(best) += 1
         var d = 0
         while (d < dim) { sums(best)(d) += x(d); d += 1 }
+        xi += 1
       }
       cur = cur.zipWithIndex.map { case (old, ci) =>
         if (counts(ci) == 0) old
@@ -136,6 +162,19 @@ object Similarity {
       }
     }
     cur
+  }
+
+  /** fixed-size chunking over [0, n) executed on the driver's
+    * ForkJoin common pool. Chunk boundaries depend only on `n`, and
+    * callers either write disjoint ranges or combine per-sample
+    * results sequentially afterwards — so results never depend on the
+    * driver's core count (parallelism changes WHO runs a chunk, never
+    * an accumulation order). */
+  private val trainChunk = 2048
+  private def parChunks(n: Int)(f: (Int, Int) => Unit): Unit = {
+    java.util.stream.IntStream
+      .range(0, (n + trainChunk - 1) / trainChunk).parallel()
+      .forEach(c => f(c * trainChunk, math.min(n, (c + 1) * trainChunk)))
   }
 
   /** IVF-style ANN: a coarse quantizer (seeded k-means over a bounded
@@ -208,6 +247,13 @@ object Similarity {
     val probes = v.select(col("id"), col("vec"), col("nrm"),
       explode(transform(scores(col("vec")),
         e => e.getField("c"))).as("bucket"))
+    // (id, neighbor) pairs are unique BY CONSTRUCTION — no dedup
+    // needed: every neighbor is indexed under exactly one bucket (its
+    // top-1 centroid) and a query's nProbe probed buckets are distinct
+    // centroid ids (IvfScorer emits each cid at most once), so a given
+    // neighbor can meet a given query through at most one join key.
+    // A dropDuplicates here would shuffle the whole candidate set —
+    // the query's largest intermediate — for nothing.
     val cand = probes.as("q").join(
         indexed.select(col("id").as("neighbor"), col("vec").as("vb"),
           col("nrm").as("nb"), col("bucket")).as("x"), Seq("bucket"))
@@ -215,13 +261,26 @@ object Similarity {
       .select(col("id"), col("neighbor"),
         (dot(col("vec"), col("vb")) / (col("nrm") * col("nb")))
           .as("cosine"))
-      .dropDuplicates("id", "neighbor")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-      .orderBy(col("cosine").desc, col("neighbor").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("id", "rank", "neighbor", "cosine")
+    rankTopK(cand, k)
   }
+
+  /** (id, rank, neighbor, cosine) top-k per id over a candidate frame —
+    * bounded [[graft.functions.TopKNeighbors]] aggregation instead of a
+    * rank window, so the exchange carries ≤ k rows per (id, map task)
+    * rather than every candidate (the window must shuffle + sort the
+    * full candidate set per query). Total order — (cosine desc
+    * nulls-last, neighbor asc) — is replicated exactly, so output is
+    * row-identical to the `row_number` form and the DuckDB oracle's
+    * `row_number()` replay still matches. The brute-force audit path
+    * ([[cosineTopK]]) intentionally KEEPS its window so the two
+    * rankings stay structurally independent checks of each other. */
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame =
+    cand.groupBy("id")
+      .agg(graft.functions.TopKNeighbors.topk(k)(
+        col("cosine"), col("neighbor")).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor").as("neighbor"), col("col.cosine").as("cosine"))
 
   /** deterministic random hyperplanes: nTables × nPlanes × dim weights
     * in {-1,+1} from a seeded driver-side PRNG, embedded as literals. */
@@ -326,11 +385,7 @@ object Similarity {
         col("nrm").as("nb")), "neighbor")
       .select(col("id"), col("neighbor"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-      .orderBy(col("cosine").desc, col("neighbor").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("id", "rank", "neighbor", "cosine")
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed embedding near-duplicate PAIRS — the scale path for

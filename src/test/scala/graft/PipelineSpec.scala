@@ -436,6 +436,82 @@ class PipelineSpec extends SparkTestBase {
     // proof the injection actually switched implementations
     assert(dflt.forall(_.feature.length == 4))
   }
+
+  test("TopKNeighbors aggregation is row-identical to the rank window " +
+       "it replaced (ties, NaN, signed zero, null scores, short groups)") {
+    // adversarial candidate frame: every ordering edge the window's
+    // (cosine desc nulls-last, neighbor asc) total order defines —
+    //   id 1: plain descending scores, > k candidates
+    //   id 2: all-tied scores (neighbor asc must decide), > k
+    //   id 3: NaN + Infinity + null (NaN ranks above Inf, null last)
+    //   id 4: -0.0 vs 0.0 tie (sort keys collapse signed zero)
+    //   id 5: fewer than k candidates
+    val cand = spark.sql(
+      """SELECT id, CAST(neighbor AS BIGINT) AS neighbor,
+        |       CAST(cosine AS DOUBLE) AS cosine FROM VALUES
+        | (1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.6),
+        | (2, 24, 0.5), (2, 21, 0.5), (2, 23, 0.5), (2, 22, 0.5),
+        | (3, 31, double('NaN')), (3, 32, double('Infinity')),
+        | (3, 33, CAST(NULL AS DOUBLE)), (3, 34, 1.0),
+        | (4, 42, double('-0.0')), (4, 41, double('0.0')), (4, 43, -1.0),
+        | (5, 51, 0.1)
+        | AS t(id, neighbor, cosine)""".stripMargin)
+    for (k <- Seq(1, 2, 3, 5)) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(col("cosine").desc, col("neighbor").asc)
+      val viaWindow = cand.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("id", "rank", "neighbor", "cosine")
+        .orderBy("id", "rank").collect().toSeq
+      val viaAgg = cand.groupBy("id")
+        .agg(graft.functions.TopKNeighbors.topk(k)(
+          col("cosine"), col("neighbor")).as("top"))
+        .select(col("id"), posexplode(col("top")))
+        .select(col("id"), (col("pos") + 1).as("rank"),
+          col("col.neighbor").as("neighbor"), col("col.cosine").as("cosine"))
+        .orderBy("id", "rank").collect().toSeq
+      // compare renders: NaN == NaN under string compare (Seq equality
+      // on raw doubles has NaN != NaN) while -0.0 still differs from 0.0
+      assert(viaAgg.map(_.toString) == viaWindow.map(_.toString),
+        s"k=$k diverged:\nagg   =$viaAgg\nwindow=$viaWindow")
+    }
+  }
+
+  test("k-means trainer is run-to-run deterministic under parallel " +
+       "chunking (thread scheduling must never change the centroids)") {
+    def train() = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 32, iters = 4, sampleN = 500)
+    val (c1, c2) = (train(), train())
+    assert(c1.length == c2.length && c1.nonEmpty)
+    c1.zip(c2).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(java.util.Arrays.equals(a, b), s"centroid $i diverged")
+    }
+  }
+
+  test("IVF candidate pairs are unique without dedup (one indexed " +
+       "bucket per neighbor x distinct probe buckets per query)") {
+    // rebuild the candidate join exactly as ivfTopKWithCentroids does
+    // (pre-ranking) and assert no (id, neighbor) pair appears twice —
+    // the invariant that justified dropping its dropDuplicates
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 16, sampleN = 2000)
+    val v = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def scores(c: org.apache.spark.sql.Column) =
+      graft.functions.IvfTopBuckets.topBuckets(c, cents, 5)
+    val indexed = v.withColumn("bucket",
+      element_at(scores(col("vec")), 1).getField("c"))
+    val probes = v.select(col("id"),
+      explode(transform(scores(col("vec")), e => e.getField("c")))
+        .as("bucket"))
+    val dupPairs = probes.as("q")
+      .join(indexed.select(col("id").as("neighbor"), col("bucket")).as("x"),
+        Seq("bucket"))
+      .where(col("id") =!= col("neighbor"))
+      .groupBy("id", "neighbor").count()
+      .where(col("count") > 1).count()
+    assert(dupPairs == 0L,
+      s"$dupPairs duplicated (id, neighbor) candidate pairs")
+  }
 }
 
 /** top-level so the decoder closure carries no outer test-class

@@ -191,4 +191,38 @@ class PropertySpec extends SparkTestBase {
       assert(!v, s"${leaf.render} must reject null")
     }
   }
+
+  test("property: TopKNeighbors ≡ rank window on seeded random " +
+       "candidates (heavy ties, duplicate scores, mixed group sizes)") {
+    // 3000 rows, 120 groups (sizes 1..50), scores drawn from a SMALL
+    // value set so cross-neighbor ties are everywhere — the regime
+    // where an ordering mismatch between the aggregator's comparator
+    // and the window's (cosine desc, neighbor asc) would surface.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(9001)
+    val rows = (0 until 3000).map { i =>
+      (rnd.nextInt(120), i.toLong,
+        if (rnd.nextInt(20) == 0) Double.NaN
+        else (rnd.nextInt(7) - 3) / 3.0)
+    }
+    val cand = spark.createDataFrame(rows)
+      .toDF("id", "neighbor", "cosine")
+    for (k <- Seq(1, 3, 7)) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(col("cosine").desc, col("neighbor").asc)
+      val viaWindow = cand.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("id", "rank", "neighbor", "cosine")
+        .orderBy("id", "rank").collect().toSeq
+      val viaAgg = cand.groupBy("id")
+        .agg(graft.functions.TopKNeighbors.topk(k)(
+          col("cosine"), col("neighbor")).as("top"))
+        .select(col("id"), posexplode(col("top")))
+        .select(col("id"), (col("pos") + 1).as("rank"),
+          col("col.neighbor").as("neighbor"), col("col.cosine").as("cosine"))
+        .orderBy("id", "rank").collect().toSeq
+      assert(viaAgg.map(_.toString) == viaWindow.map(_.toString),
+        s"k=$k diverged on seeded random candidates")
+    }
+  }
 }
