@@ -447,7 +447,7 @@ object SparkEntry {
 
     // deterministic k-subset per language (hash-rank window)
     "sample_group_topk" -> ((s, dir) =>
-      pipeline.Sampling.groupTopK(t(s, dir, "documents"), "lang",
+      pipeline.Sampling.groupTopKIds(t(s, dir, "documents"), "lang",
           "doc_id", k = 5)
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")),
@@ -751,7 +751,11 @@ object SparkEntry {
   // one definition so the exact-twin invariant (same eval subset, same
   // oracle) cannot silently diverge between the two queries
   private def decontamInputs(docs: DataFrame): (DataFrame, DataFrame) = {
-    val ev = pipeline.Sampling.groupTopK(docs, "lang", "doc_id", 5)
+    // bounded-agg sample (ids only, k·|langs| rows) + broadcast rejoin
+    // for the text — no reducer ever sorts a whole language's docs
+    val ids = pipeline.Sampling.groupTopKIds(docs, "lang", "doc_id", 5)
+      .select(col("doc_id"))
+    val ev = broadcast(ids).join(docs.select("doc_id", "text"), "doc_id")
       .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
     val train = docs.join(
       broadcast(ev.select(col("eval_id").as("doc_id"))),

@@ -31,14 +31,32 @@ object ViolationOps {
 
   /** deterministic per-check violation sampling: at most `k` rows per
     * distinct (path-prefix, expected) check, chosen by doc_id order —
-    * the triage view of a billion-violation run (orderBy().limit() per
-    * group via row_number window). */
+    * the triage view of a billion-violation run.
+    *
+    * Scale shape: implemented as a k-bounded ObjectHashAggregate
+    * ([[FirstKViolations]]), NOT a rank window. Check types are FEW —
+    * a window partitioned by (check, expected) funnels every violation
+    * of the dominant check through one reducer's sort, the classic
+    * skew trap when one rule accounts for most of a billion-violation
+    * run. The aggregate keeps ≤ k rows per (check, map task) before
+    * the exchange, so the shuffle carries k·tasks rows per check no
+    * matter how lopsided the violation mix is. Selection order —
+    * (doc_id asc, path asc) in Spark's UTF8 binary collation — is
+    * replicated exactly (parity with the window form pinned in
+    * SurfaceSpec). Expects the canonical violation schema
+    * ([[Violation]]'s six columns). */
   def samplePerCheck(viols: DataFrame, k: Int): DataFrame = {
     val check = regexp_replace(col("path"), "\\[[0-9]+\\]", "[]")
-    val w = Window.partitionBy(check, col("expected"))
-      .orderBy(col("doc_id"), col("path"))
-    viols.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= k).drop("_rn")
+    val firstK = org.apache.spark.sql.functions.udaf(
+      new FirstKViolations(k))
+    viols.groupBy(check.as("_check"), col("expected").as("_exp"))
+      .agg(firstK(col("doc_id"), col("path"), col("expected"),
+        col("got"), col("contract_repr"), col("message")).as("_rows"))
+      .select(explode(col("_rows")).as("_v"))
+      .select(col("_v.doc_id").as("doc_id"), col("_v.path").as("path"),
+        col("_v.expected").as("expected"), col("_v.got").as("got"),
+        col("_v.contract_repr").as("contract_repr"),
+        col("_v.message").as("message"))
   }
 
   /** golden-test diffing: multiset difference in both directions
@@ -49,4 +67,85 @@ object ViolationOps {
     val a = actual.select(cols: _*)
     (expected.exceptAll(a), a.exceptAll(expected))
   }
+}
+
+/** Bounded first-k violations by (doc_id asc, path asc) — the
+  * shuffle-shrinking aggregate behind [[ViolationOps.samplePerCheck]].
+  * Same partial-aggregation argument as
+  * [[graft.functions.TopKNeighbors]] (see its scaladoc), specialized
+  * to the canonical [[Violation]] row and a MIN-k string order.
+  *
+  * String order replicates Spark's: UTF8 BINARY bytes, unsigned —
+  * `java.lang.String.compareTo` ranks supplementary characters
+  * (surrogate range) below some BMP characters where UTF-8 byte order
+  * ranks them above ALL of them, so a naive compareTo would diverge
+  * from the window on non-BMP doc ids. Nulls first (asc default),
+  * matching the window's null ordering. Ties insert AFTER equals
+  * (stable), which the row_number window leaves nondeterministic — on
+  * the canonical frame (doc_id, path) is unique per violation so the
+  * case never fires, but the aggregate at least picks a stable answer
+  * where the window picks an arbitrary one.
+  */
+class FirstKViolations(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Violation, Seq[Violation], Seq[Violation]] {
+  require(k >= 1, s"first-k needs k >= 1, got $k")
+
+  /** unsigned UTF-8 byte comparison = Spark UTF8String binary order;
+    * null sorts first (asc nulls-first). */
+  private def cmpStr(a: String, b: String): Int = {
+    if (a == null || b == null)
+      return if (a == null && b == null) 0 else if (a == null) -1 else 1
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def cmp(a: Violation, b: Violation): Int = {
+    val c = cmpStr(a.doc_id, b.doc_id)
+    if (c != 0) c else cmpStr(a.path, b.path)
+  }
+
+  override def zero: Seq[Violation] = Vector.empty
+
+  override def reduce(buf: Seq[Violation], in: Violation)
+      : Seq[Violation] = {
+    if (buf.length >= k && cmp(buf.last, in) <= 0) buf
+    else {
+      val i = buf.indexWhere(cmp(in, _) < 0)
+      val at = if (i < 0) buf.length else i
+      (buf.take(at) :+ in) ++ buf.drop(at).take(k - at - 1)
+    }
+  }
+
+  override def merge(a: Seq[Violation], b: Seq[Violation])
+      : Seq[Violation] = {
+    val out = Vector.newBuilder[Violation]
+    var (i, j, n) = (0, 0, 0)
+    while (n < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length ||
+        (i < a.length && cmp(a(i), b(j)) <= 0)
+      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: Seq[Violation]): Seq[Violation] = buf
+
+  override def bufferEncoder
+      : org.apache.spark.sql.Encoder[Seq[Violation]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+      Seq[Violation]]()
+  override def outputEncoder
+      : org.apache.spark.sql.Encoder[Seq[Violation]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+      Seq[Violation]]()
 }

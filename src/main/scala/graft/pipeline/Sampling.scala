@@ -68,4 +68,32 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= k)
   }
+
+  /** [[groupTopK]]'s scale shape for integral ids: the same
+    * deterministic k-subset — (hash draw asc, id asc) per group —
+    * computed by a k-bounded aggregate
+    * ([[graft.functions.TopKNeighbors]] over the NEGATED numeric draw)
+    * instead of a rank window, returning only
+    * `(groupCol, sample_rank, idCol)` (id widened to bigint).
+    *
+    * Why: the window shuffles EVERY row to |groups| reducers — with
+    * few groups (languages, sources) that is the skew trap at
+    * 10¹²-row scale, which [[groupTopK]] mitigates only by documented
+    * pre-thinning. The aggregate keeps ≤ k ids per (group, map task)
+    * before the exchange, so no reducer ever sees a whole group; need
+    * full rows? join the k·|groups| ids back (broadcast-sized by
+    * construction). Row-identical to [[groupTopK]] whenever ids are
+    * unique within a group (the md5 draw is a fixed-width hex render
+    * of a 32-bit value, so lexicographic asc ≡ numeric asc ≡ negated
+    * desc; ties break by id asc on both paths). */
+  def groupTopKIds(df: DataFrame, groupCol: String, idCol: String,
+                   k: Int, salt: String = "graft-topk"): DataFrame = {
+    val draw = conv(hashFrac(col(idCol), salt), 16, 10).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKNeighbors.topk(k)(
+        -draw, col(idCol).cast("long")).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).as("sample_rank"),
+        col("col.neighbor").as(idCol))
+  }
 }

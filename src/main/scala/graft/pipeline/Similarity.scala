@@ -283,16 +283,23 @@ object Similarity {
         col("col.neighbor").as("neighbor"), col("col.cosine").as("cosine"))
 
   /** deterministic random hyperplanes: nTables × nPlanes × dim weights
-    * in {-1,+1} from a seeded driver-side PRNG, embedded as literals. */
-  private def planes(nTables: Int, nPlanes: Int, dim: Int, seed: Long)
-      : IndexedSeq[IndexedSeq[Array[Double]]] = {
+    * in {-1,+1} from a seeded driver-side PRNG; shipped to executors as
+    * ONE codegen reference object (see [[graft.functions.LshBucketIds]]
+    * — the per-plane literal-array form grew the plan with
+    * log₂(n)·nTables·dim literals under [[autoPlanes]]). */
+  private[graft] def planes(nTables: Int, nPlanes: Int, dim: Int,
+                               seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
-    IndexedSeq.fill(nTables)(IndexedSeq.fill(nPlanes)(
+    Array.fill(nTables)(Array.fill(nPlanes)(
       Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
   }
 
-  /** sign-bit bucket id of a vector under one table's hyperplanes. */
-  private def bucket(vec: Column, table: IndexedSeq[Array[Double]]): Column =
+  /** sign-bit bucket id of a vector under ONE table's hyperplanes,
+    * composed from per-plane [[dot]] literals — kept as the
+    * structurally independent audit twin of [[graft.functions
+    * .LshBucketIds]] (a PipelineSpec case pins their equality). */
+  private[graft] def bucketComposed(vec: Column,
+      table: IndexedSeq[Array[Double]]): Column =
     table.zipWithIndex.map { case (w, i) =>
       val wLit = array(w.toSeq.map(lit): _*)
       when(dot(vec, wLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -330,11 +337,12 @@ object Similarity {
       : DataFrame = {
     val np = if (nPlanes > 0) nPlanes else autoPlanes(df, targetBucket)
     val ps = planes(nTables, np, dim, seed)
+    // all tables' bucket ids in one reference-object expression
+    // (position in the output array IS the table id), posexploded to
+    // the (id, t, b) shape the bucket joins key on
     df.select(col(idCol).as("id"),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("t"), bucket(col(vecCol), ps(t)).as("b"))): _*))
-          .as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+        posexplode(graft.functions.LshBucketIds.buckets(col(vecCol), ps)))
+      .select(col("id"), col("pos").as("t"), col("col").as("b"))
   }
 
   private def bucketAssignments(df: DataFrame, idCol: String,

@@ -477,6 +477,20 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("LshBucketIds reference-object expression ≡ composed per-plane " +
+       "literal form (all tables, every vector)") {
+    val ps = Similarity.planes(4, 8, 64, seed = 7)
+    val composed = array((0 until 4).map(t =>
+      Similarity.bucketComposed(col("embedding"),
+        ps(t).toIndexedSeq)): _*)
+    val exprForm =
+      graft.functions.LshBucketIds.buckets(col("embedding"), ps)
+    emb.select(composed.as("a"), exprForm.as("b")).collect().foreach {
+      r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"bucket ids diverged: $r")
+    }
+  }
+
   test("k-means trainer is run-to-run deterministic under parallel " +
        "chunking (thread scheduling must never change the centroids)") {
     def train() = Similarity.kmeansCentroids(emb, "vec_id", "embedding",

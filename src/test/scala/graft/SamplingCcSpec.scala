@@ -177,4 +177,17 @@ class SamplingCcSpec extends SparkTestBase {
       .collect()
     assert(ranks.forall(r => r.getAs[Int]("mn") == 1))
   }
+
+  test("groupTopKIds (bounded aggregate) ≡ groupTopK (rank window) " +
+       "for every k") {
+    for (k <- Seq(1, 4, 9)) {
+      val viaWindow = Sampling.groupTopK(docs, "lang", "doc_id", k)
+        .select(col("lang"), col("sample_rank"),
+          col("doc_id").cast("long").as("doc_id"))
+        .orderBy("lang", "sample_rank").collect().toSeq
+      val viaAgg = Sampling.groupTopKIds(docs, "lang", "doc_id", k)
+        .orderBy("lang", "sample_rank").collect().toSeq
+      assert(viaAgg == viaWindow, s"k=$k diverged")
+    }
+  }
 }

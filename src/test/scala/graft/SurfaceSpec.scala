@@ -418,6 +418,20 @@ class SurfaceSpec extends SparkTestBase {
     val sampled = ViolationOps.samplePerCheck(v, 5)
     assert(sampled.count() <= 5)
     assert(v.count() > 5)
+    // parity with the rank-window form the bounded aggregate replaced:
+    // same rows for every k (the window is the independent audit twin)
+    for (kk <- Seq(1, 3, 5)) {
+      val check = regexp_replace(col("path"), "\\[[0-9]+\\]", "[]")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(check, col("expected"))
+        .orderBy(col("doc_id"), col("path"))
+      val viaWindow = v.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= kk).drop("_rn")
+        .orderBy("doc_id", "path").collect().toSeq
+      val viaAgg = ViolationOps.samplePerCheck(v, kk)
+        .orderBy("doc_id", "path").collect().toSeq
+      assert(viaAgg == viaWindow, s"samplePerCheck k=$kk diverged")
+    }
     val (missing, unexpected) = ViolationOps.diff(v, v)
     assert(missing.count() == 0 && unexpected.count() == 0)
     // dropping rows from the actual set shows up as `missing`
