@@ -67,7 +67,7 @@ class PlanAuditSpec extends SparkTestBase {
     * (minhash bands + CC rounds + keep-list), vocab_build 6 (two-phase
     * histogram-offset rank), decontam_overlap 6 (gram dedup + agg). */
   private val shuffleGolden: Map[String, Int] = Map(
-    "ann_cosine_topk" -> 2, "ann_ivf_topk" -> 3, "ann_lsh_topk" -> 3,
+    "ann_cosine_topk" -> 2, "ann_ivf_topk" -> 2, "ann_lsh_topk" -> 3,
     "cube_lineitem" -> 2, "decontam_bloom" -> 10,
     "decontam_overlap" -> 6, "dedup_canonical" -> 9,
     "dedup_components" -> 3, "dedup_embedding_cosine" -> 1,
