@@ -418,6 +418,22 @@ class SurfaceSpec extends SparkTestBase {
     val sampled = ViolationOps.samplePerCheck(v, 5)
     assert(sampled.count() <= 5)
     assert(v.count() > 5)
+    // the string order must be Spark's UTF8 BINARY one, not Java
+    // compareTo: U+FFE0 (high BMP, UTF-8 EF BF A0) sorts BELOW an
+    // astral char (UTF-8 F0 ...) in byte order, but its UTF-16 unit
+    // 0xFFE0 sorts ABOVE the astral lead surrogate 0xD835 — ids
+    // straddling the k cut at that boundary discriminate the two
+    val exotic = spark.createDataFrame(Seq(
+      ("a", ".x", "e", "g", "c", "m"),
+      ("￠", ".x", "e", "g", "c", "m"),
+      ("𝟘", ".x", "e", "g", "c", "m"),
+      ("b", ".x", "e", "g", "c", "m")))
+      .toDF("doc_id", "path", "expected", "got", "contract_repr",
+        "message")
+    val got3 = ViolationOps.samplePerCheck(exotic, 3)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(got3 == Set("a", "b", "￠"),
+      s"UTF8-binary order violated: $got3")
     // parity with the rank-window form the bounded aggregate replaced:
     // same rows for every k (the window is the independent audit twin)
     for (kk <- Seq(1, 3, 5)) {
