@@ -92,6 +92,27 @@ class PlanAuditSpec extends SparkTestBase {
     "v_documents" -> 1, "v_shapes_all" -> 1, "v_spans_nested" -> 1,
     "vocab_build" -> 6, "win_events_running" -> 2)
 
+  /** queries whose plans must stay WINDOW-FREE: their rankings run as
+    * k-bounded aggregates (TopKNeighbors / FirstKViolations) precisely
+    * because a rank window partitioned by their keys is the skew trap
+    * at scale — a Window node reappearing here is a de-skew
+    * regression even if results stay correct. */
+  private val windowFree: Set[String] = Set(
+    "ann_ivf_topk", "ann_lsh_topk", "sample_group_topk",
+    "sample_violations")
+
+  test("plan audit: de-skewed rankings stay window-free (bounded " +
+       "aggregate, not rank window)") {
+    SparkEntry.stageAll(spark, dir)
+    windowFree.toSeq.sorted.foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Window"),
+        s"$name plans a Window again — bounded-aggregate de-skew lost")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name lost its ObjectHashAggregate ranking")
+    }
+  }
+
   test("plan audit: UDF allowlist, no stray cartesians, shuffle ceilings") {
     SparkEntry.stageAll(spark, dir)
     val discover = sys.env.contains("GRAFT_PLAN_DISCOVER")
