@@ -212,7 +212,17 @@ final case class Renamed(inner: Contract, newName: String)
   * else ContractLibraryError with the reference's exact wording.
   * Recursion is bounded by the finite input schema depth at compile
   * time — Spark schemas are non-recursive, so unrolling always
-  * terminates. */
+  * terminates.
+  *
+  * Documented divergence (probed by executing the reference): on a
+  * plain data `check`, the reference's inner self-occurrence checks
+  * NOTHING — the enclosing contract captured the handle's pre-close
+  * (accept-anything) checker, so `{v: 1, next: 'notobj'}` passes its
+  * recursive list contract; recursion only works for its function
+  * WRAPPING path, which resolves lazily at call time. The engine
+  * resolves the cycle at compile time instead and validates every
+  * nested level — the semantics a validation engine exists for
+  * (pinned in SurfaceSpec: a depth-2 leaf violation IS reported). */
 class CyclicC private[contracts] (
     override val needsWrapping: Boolean,
     refName: String = "cyclic") extends Contract {
@@ -228,7 +238,32 @@ class CyclicC private[contracts] (
   }
   def resolved: Contract = ref.getOrElse(
     throw new ContractLibraryError(s"$refName used before closeCycle"))
-  def render = s"c.$refName"
+  /** reference toString bytes (probed by executing contract.impl.js):
+    * an unclosed handle renders `c.cyclic()` — WITH parens, like any
+    * un-renamed contract — while `forwardRef`'s rename drops them
+    * (`c.forwardRef`, the rename-drops-parens quirk). A CLOSED handle
+    * renders as its BODY (closeCycle copies the body's properties onto
+    * the handle), with any inner occurrence of the same handle cut
+    * back to the short form — the reference gets the cut for free
+    * because the body captured the handle's pre-close toString;
+    * here a reentrancy guard produces the identical bytes. */
+  protected def shortRender: String = s"c.$refName()"
+  def render: String =
+    if (ref.isEmpty || CyclicC.rendering.get.contains(this)) shortRender
+    else {
+      CyclicC.rendering.set(CyclicC.rendering.get + this)
+      try resolved.render
+      finally CyclicC.rendering.set(CyclicC.rendering.get - this)
+    }
+}
+
+object CyclicC {
+  /** handles currently being rendered on this thread — cuts the
+    * self-reference in [[CyclicC.render]] (mutual A↔B cycles too). */
+  private val rendering =
+    new ThreadLocal[Set[CyclicC]] {
+      override def initialValue(): Set[CyclicC] = Set.empty
+    }
 }
 
 /** forward reference — `cyclic` pre-closed into non-wrapping mode with
@@ -236,6 +271,8 @@ class CyclicC private[contracts] (
   * reference builds forwardRef by passing cyclic a DEFINED argument,
   * which its `!!_.isUndefined` quirk maps to needsWrapping=false). */
 final class ForwardRefC extends CyclicC(false, "forwardRef") {
+  /** `.rename('forwardRef')` in the reference drops the parens. */
+  override protected def shortRender: String = "c.forwardRef"
   def setRef(c: Contract): this.type = closeCycle(c)
   override def resolved: Contract =
     try super.resolved

@@ -252,6 +252,22 @@ class SurfaceSpec extends SparkTestBase {
     val bad = fix("named_struct('v', 1, 'next', named_struct('v', 's')) as t")
     assertViol(bad, C.obj("t" -> node), ".t.next.v", "number", "'s'")
     intercept[ContractLibraryError](C.cyclic(false).resolved)
+    // render bytes probed by executing the reference: an unclosed
+    // handle keeps the parens (`c.cyclic()`; forwardRef's rename drops
+    // them), a CLOSED handle renders as its body with the inner
+    // self-occurrence cut back to the short form
+    assert(C.cyclic().render == "c.cyclic()")
+    assert(C.forwardRef().render == "c.forwardRef")
+    assert(ref.render ==
+      "c.object({v: c.number, next: c.optional(c.cyclic())})",
+      s"cyclic closed render: ${ref.render}")
+    val fr2 = C.forwardRef()
+    val frBody: Contract = C.obj("v" -> C.integer,
+      "next" -> C.optional(fr2))
+    fr2.setRef(frBody)
+    assert(fr2.render ==
+      "c.object({v: c.integer, next: c.optional(c.forwardRef)})",
+      s"forwardRef closed render: ${fr2.render}")
   }
 
   // --- method / thisArg (function-contracts.js:437-451, :166-171) ---
