@@ -91,26 +91,10 @@ class FirstKViolations(k: Int)
       Violation, Seq[Violation], Seq[Violation]] {
   require(k >= 1, s"first-k needs k >= 1, got $k")
 
-  /** unsigned UTF-8 byte comparison = Spark UTF8String binary order;
-    * null sorts first (asc nulls-first). */
-  private def cmpStr(a: String, b: String): Int = {
-    if (a == null || b == null)
-      return if (a == null && b == null) 0 else if (a == null) -1 else 1
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
-
   private def cmp(a: Violation, b: Violation): Int = {
-    val c = cmpStr(a.doc_id, b.doc_id)
-    if (c != 0) c else cmpStr(a.path, b.path)
+    val c = graft.functions.Utf8Order.cmpStrings(a.doc_id, b.doc_id)
+    if (c != 0) c
+    else graft.functions.Utf8Order.cmpStrings(a.path, b.path)
   }
 
   override def zero: Seq[Violation] = Vector.empty

@@ -193,11 +193,19 @@ object TextAnalysis {
     val scored = tf.join(dfreq, "term")
       .withColumn("tfidf", round(col("tf") *
         log(lit(nDocs.toDouble) / col("df")), 4))
-    val w = Window.partitionBy("id")
-      .orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("term_rank", row_number().over(w))
-      .where(col("term_rank") <= k)
-      .select("id", "term_rank", "term", "tf", "df", "tfidf")
+    // k-bounded aggregate, not a rank window: the window re-shuffles
+    // the ENTIRE postings list (every scored (doc, term) row) to rank
+    // it; the aggregate's exchange carries ≤ k rows per (doc, map
+    // task). Order — (tfidf desc, term asc in UTF8 binary) — is
+    // replicated exactly (TrainingOpsSpec pins window parity), so the
+    // DuckDB row_number oracle replays unchanged.
+    scored.groupBy("id")
+      .agg(graft.functions.TopKTerms.topk(k)(col("tfidf"), col("term"),
+        col("tf"), col("df")).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), (col("pos") + 1).as("term_rank"),
+        col("col.term").as("term"), col("col.tf").as("tf"),
+        col("col.df").as("df"), col("col.tfidf").as("tfidf"))
   }
 
   /** Vocabulary induction: dense ids 1..V assigned by (count desc,

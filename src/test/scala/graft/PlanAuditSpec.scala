@@ -99,7 +99,7 @@ class PlanAuditSpec extends SparkTestBase {
     * regression even if results stay correct. */
   private val windowFree: Set[String] = Set(
     "ann_ivf_topk", "ann_lsh_topk", "sample_group_topk",
-    "sample_violations")
+    "sample_violations", "text_tfidf")
 
   test("plan audit: de-skewed rankings stay window-free (bounded " +
        "aggregate, not rank window)") {

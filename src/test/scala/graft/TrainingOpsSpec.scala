@@ -162,6 +162,33 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(o2.forall(_.getAs[String]("term") != "the"))
   }
 
+  test("tfidf: bounded aggregate ≡ rank window on the real corpus " +
+       "for every k") {
+    // rebuild the window form the aggregate replaced and compare
+    // row-for-row on sf0.001 documents (ties abound: word-salad text
+    // gives many equal (tf, df) pairs per doc)
+    val n = docs.count()
+    val tf = docs.select(col("doc_id").as("id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") *
+        log(lit(n.toDouble) / col("df")), 4))
+    for (k <- Seq(1, 5)) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(col("tfidf").desc, col("term"))
+      val viaWindow = scored
+        .withColumn("term_rank", row_number().over(w))
+        .where(col("term_rank") <= k)
+        .select("id", "term_rank", "term", "tf", "df", "tfidf")
+        .orderBy("id", "term_rank").collect().toSeq
+      val viaAgg = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k, n)
+        .orderBy("id", "term_rank").collect().toSeq
+      assert(viaAgg == viaWindow, s"k=$k diverged from the window form")
+    }
+  }
+
   // ---- URL normalization ----
 
   test("url normalization: case, default ports, utm runs, fragment, " +
