@@ -87,42 +87,13 @@ object ViolationOps {
   * where the window picks an arbitrary one.
   */
 class FirstKViolations(k: Int)
-    extends org.apache.spark.sql.expressions.Aggregator[
-      Violation, Seq[Violation], Seq[Violation]] {
-  require(k >= 1, s"first-k needs k >= 1, got $k")
+    extends graft.functions.BoundedTopK[Violation](k) {
 
-  private def cmp(a: Violation, b: Violation): Int = {
+  override protected def cmp(a: Violation, b: Violation): Int = {
     val c = graft.functions.Utf8Order.cmpStrings(a.doc_id, b.doc_id)
     if (c != 0) c
     else graft.functions.Utf8Order.cmpStrings(a.path, b.path)
   }
-
-  override def zero: Seq[Violation] = Vector.empty
-
-  override def reduce(buf: Seq[Violation], in: Violation)
-      : Seq[Violation] = {
-    if (buf.length >= k && cmp(buf.last, in) <= 0) buf
-    else {
-      val i = buf.indexWhere(cmp(in, _) < 0)
-      val at = if (i < 0) buf.length else i
-      (buf.take(at) :+ in) ++ buf.drop(at).take(k - at - 1)
-    }
-  }
-
-  override def merge(a: Seq[Violation], b: Seq[Violation])
-      : Seq[Violation] = {
-    val out = Vector.newBuilder[Violation]
-    var (i, j, n) = (0, 0, 0)
-    while (n < k && (i < a.length || j < b.length)) {
-      val takeA = j >= b.length ||
-        (i < a.length && cmp(a(i), b(j)) <= 0)
-      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
-      n += 1
-    }
-    out.result()
-  }
-
-  override def finish(buf: Seq[Violation]): Seq[Violation] = buf
 
   override def bufferEncoder
       : org.apache.spark.sql.Encoder[Seq[Violation]] =

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** One scored candidate neighbor. `cosine` is Option so a null score
@@ -35,17 +34,15 @@ case class ScoredNeighbor(cosine: Option[Double], neighbor: Long)
   * identical to the window's, and the DuckDB `row_number()` oracle
   * replays unchanged.
   */
-class TopKNeighbors(k: Int)
-    extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor],
-      Seq[ScoredNeighbor]] {
-  require(k >= 1, s"top-k needs k >= 1, got $k")
+class TopKNeighbors(k: Int) extends BoundedTopK[ScoredNeighbor](k) {
 
   /** < 0 iff `a` outranks `b` under (score desc nulls-last,
     * neighbor asc). Signed zero is normalized (+0.0) INSIDE the
     * comparison only — Spark's sort keys collapse −0.0/0.0 but the
     * window still EMITS the original value, so the buffer must keep
     * the raw score and only compare the normalized one. */
-  private def cmp(a: ScoredNeighbor, b: ScoredNeighbor): Int =
+  override protected def cmp(a: ScoredNeighbor, b: ScoredNeighbor)
+      : Int =
     (a.cosine, b.cosine) match {
       case (Some(x), Some(y)) =>
         val c = java.lang.Double.compare(y + 0.0, x + 0.0)
@@ -55,35 +52,6 @@ class TopKNeighbors(k: Int)
       case (None, None) =>
         java.lang.Long.compare(a.neighbor, b.neighbor)
     }
-
-  override def zero: Seq[ScoredNeighbor] = Vector.empty
-
-  override def reduce(buf: Seq[ScoredNeighbor], in: ScoredNeighbor)
-      : Seq[ScoredNeighbor] = {
-    if (buf.length >= k && cmp(buf.last, in) <= 0) buf
-    else {
-      val i = buf.indexWhere(cmp(in, _) < 0)
-      val at = if (i < 0) buf.length else i
-      (buf.take(at) :+ in) ++ buf.drop(at).take(k - at - 1)
-    }
-  }
-
-  override def merge(a: Seq[ScoredNeighbor], b: Seq[ScoredNeighbor])
-      : Seq[ScoredNeighbor] = {
-    // both sides sorted; standard merge, truncated at k
-    val out = Vector.newBuilder[ScoredNeighbor]
-    var (i, j, n) = (0, 0, 0)
-    while (n < k && (i < a.length || j < b.length)) {
-      val takeA = j >= b.length ||
-        (i < a.length && cmp(a(i), b(j)) <= 0)
-      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
-      n += 1
-    }
-    out.result()
-  }
-
-  override def finish(buf: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
-    buf
 
   override def bufferEncoder: Encoder[Seq[ScoredNeighbor]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder}
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** One scored term with its counts — the full row the TF-IDF top-k
@@ -23,41 +22,12 @@ case class ScoredTerm(tfidf: Double, term: String, tf: Long, df: Long)
   * over positive counts — but the comparator follows the
   * [[TopKNeighbors]] rules anyway), term ties ascending in Spark's
   * UTF8 binary collation ([[Utf8Order]]). */
-class TopKTerms(k: Int)
-    extends Aggregator[ScoredTerm, Seq[ScoredTerm], Seq[ScoredTerm]] {
-  require(k >= 1, s"top-k needs k >= 1, got $k")
+class TopKTerms(k: Int) extends BoundedTopK[ScoredTerm](k) {
 
-  private def cmp(a: ScoredTerm, b: ScoredTerm): Int = {
+  override protected def cmp(a: ScoredTerm, b: ScoredTerm): Int = {
     val c = java.lang.Double.compare(b.tfidf + 0.0, a.tfidf + 0.0)
     if (c != 0) c else Utf8Order.cmpStrings(a.term, b.term)
   }
-
-  override def zero: Seq[ScoredTerm] = Vector.empty
-
-  override def reduce(buf: Seq[ScoredTerm], in: ScoredTerm)
-      : Seq[ScoredTerm] = {
-    if (buf.length >= k && cmp(buf.last, in) <= 0) buf
-    else {
-      val i = buf.indexWhere(cmp(in, _) < 0)
-      val at = if (i < 0) buf.length else i
-      (buf.take(at) :+ in) ++ buf.drop(at).take(k - at - 1)
-    }
-  }
-
-  override def merge(a: Seq[ScoredTerm], b: Seq[ScoredTerm])
-      : Seq[ScoredTerm] = {
-    val out = Vector.newBuilder[ScoredTerm]
-    var (i, j, n) = (0, 0, 0)
-    while (n < k && (i < a.length || j < b.length)) {
-      val takeA = j >= b.length ||
-        (i < a.length && cmp(a(i), b(j)) <= 0)
-      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
-      n += 1
-    }
-    out.result()
-  }
-
-  override def finish(buf: Seq[ScoredTerm]): Seq[ScoredTerm] = buf
 
   override def bufferEncoder: Encoder[Seq[ScoredTerm]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
