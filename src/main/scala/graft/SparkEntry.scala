@@ -145,6 +145,20 @@ object SparkEntry {
     staged(s, s"${genDir(dir)}/media_payload")(
       pipeline.Multimodal.withPayload(gen.SpanGen.media(s, 2000)))
 
+  /** uncompressed raw-RGB video catalog — the fixture that lets
+    * `mm_frames_px` hard-verify genuine per-frame PIXEL decode (the
+    * compressed catalog's codec stage is env-blocked; raw RGB both the
+    * JVM and the byte-level SQL oracle can decode). */
+  private def stagedRawVideo(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"${genDir(dir)}/raw_video") {
+      import s.implicits._
+      s.range(0, 300)
+        .select(concat(lit("rv"), col("id")).as("id")).as[String]
+        .map(id => pipeline.Multimodal.MediaRow(id, "video/mp4",
+          pipeline.Multimodal.rawRgbVideoPayload(id)))
+        .toDF()
+    }
+
   /** force every staged input for `dir` — setup, not measurement.
     * Bench calls this before the timed sweep so no timed lambda pays
     * generation/staging I/O; inside a gram-cache bracket so the
@@ -161,6 +175,7 @@ object SparkEntry {
       stagedLshPairBuckets(s, dir).count()
       stagedIvfCentroids(s, dir)
       stagedMedia(s, dir).count()
+      stagedRawVideo(s, dir).count()
       stagedSchemaSnapshots(s, dir)
     }
 
@@ -624,6 +639,28 @@ object SparkEntry {
       pipeline.Multimodal.sampleFrames(media, everyMs = 1000)
         .toDF()
         .select(col("media_id"), col("frame_idx"), col("pts_ms"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // genuine per-frame PIXEL decode, hard-verified: raw-RGB frames in
+    // a real BMFF container, demuxed by the box walker and decoded to
+    // a BufferedImage raster whose integer channel sums/maxima the
+    // byte-level oracle re-derives from the mdat bytes. The injected
+    // RawRgbFrameDecoder replaces the marked stub on this path.
+    "mm_frames_px" -> ((s, dir) => {
+      pipeline.Multimodal.sampleFrames(stagedRawVideo(s, dir),
+          everyMs = 250,
+          decoder = pipeline.Multimodal.RawRgbFrameDecoder)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("pts_ms"),
+          element_at(col("feature"), 1).cast("long").as("sum_r"),
+          element_at(col("feature"), 2).cast("long").as("sum_g"),
+          element_at(col("feature"), 3).cast("long").as("sum_b"),
+          element_at(col("feature"), 4).cast("int").as("max_r"),
+          element_at(col("feature"), 5).cast("int").as("max_g"),
+          element_at(col("feature"), 6).cast("int").as("max_b"),
+          element_at(col("feature"), 7).cast("int").as("width"),
+          element_at(col("feature"), 8).cast("int").as("height"))
         .orderBy("media_id", "frame_idx")
     }),
 
@@ -2008,6 +2045,47 @@ object SparkEntry {
         |SELECT media_id, CAST(i AS INT) AS frame_idx,
         |  CAST(i * 1000 AS BIGINT) AS pts_ms
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // genuine pixel decode, byte-verified: the raw-RGB fixture's frame
+    // rasters live at canonical-writer offsets (tkhd dims BE 16.16 at
+    // bytes 232/236 -> integer halves at hex 465/473, mvhd duration at
+    // 56 -> hex 113, mdat data from byte 248 -> hex 497; RGB24
+    // row-major, frame f pixel p channel c at byte 248 + f*w*h*3 +
+    // p*3 + c). The oracle re-sums every channel from the container
+    // bytes — the Spark side must get the SAME integers out of its
+    // BufferedImage raster, proving the decode end to end.
+    "mm_frames_px" ->
+      """WITH v AS (
+        |  SELECT media_id, hex(payload) AS hx,
+        |    CAST(('0x' || substring(hex(payload), 465, 4)) AS INTEGER)
+        |      AS w,
+        |    CAST(('0x' || substring(hex(payload), 473, 4)) AS INTEGER)
+        |      AS h,
+        |    CAST(('0x' || substring(hex(payload), 113, 8)) AS BIGINT)
+        |      AS dur_ms
+        |  FROM read_parquet('/tmp/graft_gen/sf0.01/raw_video/*.parquet')),
+        |f AS (SELECT media_id, hx, w, h,
+        |  unnest(range(0, dur_ms // 250)) AS fi FROM v),
+        |px AS (SELECT media_id, fi, w, h, hx,
+        |  unnest(range(0, w * h)) AS p FROM f),
+        |ch AS (SELECT media_id, fi, w, h,
+        |    CAST(('0x' || substring(hx, 497 + (fi*w*h*3 + p*3) * 2, 2))
+        |      AS INTEGER) AS r,
+        |    CAST(('0x' || substring(hx, 499 + (fi*w*h*3 + p*3) * 2, 2))
+        |      AS INTEGER) AS g,
+        |    CAST(('0x' || substring(hx, 501 + (fi*w*h*3 + p*3) * 2, 2))
+        |      AS INTEGER) AS b
+        |  FROM px)
+        |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(fi * 250 AS BIGINT) AS pts_ms,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max(r) AS INT) AS max_r, CAST(max(g) AS INT) AS max_g,
+        |  CAST(max(b) AS INT) AS max_b,
+        |  CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height
+        |FROM ch GROUP BY media_id, fi
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // exact-audit drift: same KS/PSI definitions as the engine's exact
     // mode — empirical CDFs on the shared min/max grid of 101 points.

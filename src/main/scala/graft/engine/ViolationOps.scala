@@ -46,6 +46,19 @@ object ViolationOps {
     * SurfaceSpec). Expects the canonical violation schema
     * ([[Violation]]'s six columns). */
   def samplePerCheck(viols: DataFrame, k: Int): DataFrame = {
+    // The aggregate funnels rows through Violation's six-column
+    // encoder, so any EXTRA input column (e.g. allViolations' `seq`)
+    // would be silently dropped — the window form this replaced
+    // preserved them. Reject wider/narrower frames up front; callers
+    // with extra columns must select the canonical six (and re-join on
+    // (doc_id, path) if they need the rest back).
+    val canonical = Seq("doc_id", "path", "expected", "got",
+      "contract_repr", "message")
+    require(viols.columns.sorted.sameElements(canonical.sorted),
+      s"samplePerCheck expects exactly the canonical violation " +
+        s"columns ${canonical.mkString("(", ", ", ")")}; got " +
+        s"${viols.columns.mkString("(", ", ", ")")} — select the six " +
+        "canonical columns first (extra columns would be dropped)")
     val check = regexp_replace(col("path"), "\\[[0-9]+\\]", "[]")
     val firstK = org.apache.spark.sql.functions.udaf(
       new FirstKViolations(k))

@@ -28,12 +28,28 @@ abstract class BoundedTopK[T](k: Int)
 
   final override def zero: Seq[T] = Vector.empty
 
+  /** Hot-path cost shape: a row that cannot enter the full buffer —
+    * the overwhelming case once a map task has seen ≥ k rows per group
+    * (accept probability k/i for the i-th row) — pays exactly ONE
+    * comparison and zero allocation via the `buf.last` gate (and that
+    * comparison is itself allocation-free for string keys since
+    * [[Utf8Order]]'s surrogate-aware fast path). Accepted rows find
+    * their slot by binary search over the sorted buffer — O(log k)
+    * comparisons, ties landing AFTER equals (stable, the upper bound)
+    * — and pay one O(k) immutable rebuild, which totals O(k·ln(n/k))
+    * rebuilds per group over a whole task: not worth a mutable buffer
+    * (the Aggregator BUF type is immutable `Seq`, so mutation would
+    * fight the encoder contract for rare wins). */
   final override def reduce(buf: Seq[T], in: T): Seq[T] = {
     if (buf.length >= k && cmp(buf.last, in) <= 0) buf
     else {
-      val i = buf.indexWhere(cmp(in, _) < 0)
-      val at = if (i < 0) buf.length else i
-      (buf.take(at) :+ in) ++ buf.drop(at).take(k - at - 1)
+      var lo = 0
+      var hi = buf.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(in, buf(mid)) < 0) hi = mid else lo = mid + 1
+      }
+      (buf.take(lo) :+ in) ++ buf.drop(lo).take(k - lo - 1)
     }
   }
 

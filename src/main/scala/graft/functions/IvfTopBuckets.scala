@@ -29,7 +29,12 @@ import org.apache.spark.sql.types._
   * (float inputs widened per element), bit-matching [[DotProduct]] and
   * the oracle's `list_aggregate(list_apply(list_zip(..)), 'sum')`.
   */
-case class IvfTopBuckets(child: Expression, centroids: Array[Array[Double]],
+/** `centroids` is nested IndexedSeq, not Array, for the same reason as
+  * [[LshBucketIds]]: structural equals/hashCode so plan
+  * canonicalization/common-subexpression reuse works across the two
+  * instantiations per IVF plan (index + probe side). */
+case class IvfTopBuckets(child: Expression,
+                         centroids: IndexedSeq[IndexedSeq[Double]],
                          nProbe: Int)
     extends UnaryExpression {
 
@@ -48,7 +53,7 @@ case class IvfTopBuckets(child: Expression, centroids: Array[Array[Double]],
     }
 
   @transient private lazy val scorer = new IvfScorer(
-    centroids, nProbe,
+    centroids.map(_.toArray).toArray, nProbe,
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType)
 
   override def nullSafeEval(v: Any): Any =
@@ -77,7 +82,8 @@ object IvfTopBuckets {
 
   def topBuckets(vec: Column, centroids: Array[Array[Double]],
                  nProbe: Int): Column =
-    column(IvfTopBuckets(expression(vec), centroids, nProbe))
+    column(IvfTopBuckets(expression(vec),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, nProbe))
 }
 
 /** The per-row scoring loop, shared by interpreted eval and generated

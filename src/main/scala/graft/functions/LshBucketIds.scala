@@ -31,8 +31,14 @@ import org.apache.spark.sql.types._
   * (nullSafeEval), matching the composed form where every per-plane
   * `when` is null.
   */
+/** `planes` is nested IndexedSeq, not Array: the case-class-generated
+  * equals/hashCode then compare the tensor STRUCTURALLY, so two
+  * instantiations over the same planes canonicalize equal and Catalyst
+  * can common-subexpression/reuse them (an Array param compares by
+  * reference and defeats that). The hasher converts to flat arrays
+  * once per expression instance. */
 case class LshBucketIds(child: Expression,
-                        planes: Array[Array[Array[Double]]])
+                        planes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
     extends UnaryExpression {
 
   override def dataType: DataType =
@@ -51,7 +57,7 @@ case class LshBucketIds(child: Expression,
     }
 
   @transient private lazy val hasher = new LshHasher(
-    planes,
+    planes.map(_.map(_.toArray).toArray).toArray,
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType)
 
   override def nullSafeEval(v: Any): Any =
@@ -75,7 +81,8 @@ object LshBucketIds {
 
   /** `array<long>` of length nTables — table t's bucket id at index t. */
   def buckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
-    column(LshBucketIds(expression(vec), planes))
+    column(LshBucketIds(expression(vec),
+      planes.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 }
 
 /** The per-row hashing loop, shared by interpreted eval and generated

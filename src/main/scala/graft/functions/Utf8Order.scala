@@ -11,18 +11,36 @@ package graft.functions
   * this. */
 object Utf8Order {
 
-  /** < 0 iff `a` sorts before `b` ascending; null first. */
+  /** < 0 iff `a` sorts before `b` ascending; null first.
+    *
+    * Allocation-free fast path: UTF-16 code-unit order equals UTF-8
+    * byte order whenever the first differing code unit is not a
+    * surrogate on either side (UTF-8 byte order ≡ code-point order,
+    * and non-surrogate code units ARE their code points) — so the
+    * common case compares chars directly; the byte-encoding slow path
+    * (two transient arrays) fires only when an astral character sits
+    * exactly at the divergence point. Matters because this comparator
+    * runs O(log k) times per input row inside [[BoundedTopK.reduce]]'s
+    * map-side hot loop. */
   def cmpStrings(a: String, b: String): Int = {
     if (a == null || b == null)
       return if (a == null && b == null) 0 else if (a == null) -1 else 1
+    val nc = math.min(a.length, b.length)
+    var i = 0
+    while (i < nc && a.charAt(i) == b.charAt(i)) i += 1
+    if (i == nc) return a.length - b.length
+    val ca = a.charAt(i)
+    val cb = b.charAt(i)
+    if (!Character.isSurrogate(ca) && !Character.isSurrogate(cb))
+      return ca - cb
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
+    var j = 0
+    while (j < n) {
+      val c = (x(j) & 0xff) - (y(j) & 0xff)
       if (c != 0) return c
-      i += 1
+      j += 1
     }
     x.length - y.length
   }

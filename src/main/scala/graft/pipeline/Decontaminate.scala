@@ -83,15 +83,20 @@ object Decontaminate {
       Dedup.withNgrams(evalDf, evalIdCol, evalTextCol, n)
         .select(col("id").as("eval_id"), explode(col("grams")).as("g"))
         .distinct())
-    val egGrams = eg.select("g").distinct()
     val expected =
       if (expectedGrams > 0) expectedGrams
-      else math.max(egGrams.count(), 1L)
+      else math.max(eg.select("g").distinct().count(), 1L)
     val numBits = math.max(BloomFilter.optimalNumOfBits(expected, fpp), 64L)
     val bfAgg = asCol(new BloomFilterAggregate(
       asExpr(xxhash64(col("g"))), asExpr(lit(expected)),
       asExpr(lit(numBits))).toAggregateExpression())
-    val bf = egGrams.agg(bfAgg.as("bf")).scalar()
+    // the filter is built over the cached (eval_id, g) rows DIRECTLY:
+    // Bloom insertion is idempotent, so a distinct-by-g before the
+    // build would pay a whole exchange to deduplicate inserts the
+    // filter dedupes for free (the sizing count above still dedupes —
+    // it runs once, eagerly, over the small side only, and never
+    // appears in the probe plan)
+    val bf = eg.select("g").agg(bfAgg.as("bf")).scalar()
     val mightContain = asCol(BloomFilterMightContain(
       asExpr(bf), asExpr(xxhash64(col("g")))))
     val tg = Dedup.withNgrams(train, idCol, textCol, n)

@@ -130,13 +130,20 @@ object Dedup {
     val docs = GramCache.persistTracked(withNgrams(df, idCol, textCol, n))
     // minhashes via explode + aggregation, NOT array HOFs: HOF lambdas
     // are interpreted (CodegenFallback, per-element boxing) while
-    // min(xxhash64(g, s)) aggregates are whole-stage-codegen'd. Spark's
+    // min(xxhash64(...)) aggregates are whole-stage-codegen'd. Spark's
     // map-side partial aggregation collapses each doc's grams to one
     // 64-column row BEFORE the shuffle, so the exchange carries one row
-    // per doc regardless of document length.
+    // per doc regardless of document length. The gram STRING is hashed
+    // once (`gh`) and the 64 seeded draws re-hash the 8-byte long —
+    // hashing the ~20-40-byte gram text per seed paid numHashes× the
+    // string's length in the signature pass, the query's dominant
+    // compute. Two distinct grams colliding in gh (2⁻⁶⁴) can only
+    // MERGE draws — never splits a true candidate pair, and the exact
+    // Jaccard verify keeps precision exact regardless.
     val gramRows = docs.select(col("id"), explode(col("grams")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
     val minAggs = (0 until numHashes).map(s =>
-      min(xxhash64(col("g"), lit(s))).as(s"m$s"))
+      min(xxhash64(col("gh"), lit(s))).as(s"m$s"))
     val sigs = gramRows.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val h = (0 until r).map(j => col(s"m${b * r + j}"))

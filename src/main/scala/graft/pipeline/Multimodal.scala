@@ -126,6 +126,17 @@ object Multimodal {
     val durMs = 500 + math.floorMod(h0 >> 3, 10000)
     val w = 16 + math.floorMod(h0 >> 5, 305) // 16..320
     val ht = 16 + math.floorMod(h0 >> 13, 305)
+    val mdatLen = 64 + math.floorMod(h0 >> 9, 1024)
+    mp4Container(durMs, w, ht,
+      Array.tabulate(mdatLen)(i => ((h0 * 31 + i * 131) & 0xff).toByte))
+  }
+
+  /** the canonical container writer shared by [[mp4Payload]] and
+    * [[rawRgbVideoPayload]] — byte layout is pinned by the structural
+    * oracle offsets (mvhd duration at byte 56, tkhd dims at 232/236,
+    * mdat data from 248), so it must stay a single definition. */
+  private def mp4Container(durMs: Int, w: Int, ht: Int,
+                           mdatBytes: Array[Byte]): Array[Byte] = {
     val unit = be32(0x00010000) // 1.0 in 16.16
     val matrix = unit ++ be32(0) ++ be32(0) ++
       be32(0) ++ unit ++ be32(0) ++
@@ -149,16 +160,39 @@ object Multimodal {
         matrix ++
         be32(w << 16) ++ be32(ht << 16)) // width, height in 16.16
     val moov = box("moov", mvhd ++ box("trak", tkhd))
-    val mdatLen = 64 + math.floorMod(h0 >> 9, 1024)
-    val mdat = box("mdat",
-      Array.tabulate(mdatLen)(i => ((h0 * 31 + i * 131) & 0xff).toByte))
-    ftyp ++ moov ++ mdat
+    ftyp ++ moov ++ box("mdat", mdatBytes)
   }
 
-  /** container metadata a real demuxer's first pass yields. */
+  /** deterministic UNCOMPRESSED video: the same genuine BMFF container,
+    * but the mdat carries nFrames consecutive raw RGB24 rasters
+    * (row-major, 3 bytes/pixel) at the tkhd display dimensions —
+    * duration = nFrames × 250 ms at timescale 1000, so the frame grid
+    * is exact. Raw RGB is a real interchange codec (rawvideo); it is
+    * the one pixel format both a JVM decoder AND a byte-level SQL
+    * oracle can decode, which is what lets `mm_frames_px` hard-verify
+    * genuine per-frame PIXEL features end-to-end (the compressed-codec
+    * path stays behind [[FrameDecoder]]). */
+  private[graft] def rawRgbVideoPayload(mediaId: String): Array[Byte] = {
+    val h0 = mediaId.hashCode
+    val w = 4 + math.floorMod(h0 >> 5, 9) // 4..12
+    val ht = 4 + math.floorMod(h0 >> 13, 9)
+    val nFrames = 2 + math.floorMod(h0 >> 3, 5) // 2..6
+    val frameLen = w * ht * 3
+    val mdat = Array.tabulate(nFrames * frameLen) { j =>
+      val f = j / frameLen
+      val p = j % frameLen
+      ((h0 * 31 + f * 997 + p * 131) & 0xff).toByte
+    }
+    mp4Container(nFrames * 250, w, ht, mdat)
+  }
+
+  /** container metadata a real demuxer's first pass yields. `mdatOff`
+    * is the byte offset of the mdat PAYLOAD (after its header) — what
+    * a sample reader seeks to. */
   private[graft] case class Mp4Meta(durationMs: Long, timescale: Int,
                                        width: Int, height: Int,
-                                       mdatLen: Int, nTopBoxes: Int)
+                                       mdatLen: Int, nTopBoxes: Int,
+                                       mdatOff: Int = 0)
 
   /** REAL ISO-BMFF box walker: iterates (size, fourcc) top-level boxes,
     * descends into moov for mvhd (timescale/duration) and trak/tkhd
@@ -176,6 +210,7 @@ object Multimodal {
     var off = 0
     var timescale = 0; var duration = -1L
     var w = 0; var h = 0; var mdatLen = 0; var nTop = 0
+    var mdatOff = 0
     var sawFtyp = false
     while (off + 8 <= b.length) {
       val size = u32(off)
@@ -183,7 +218,7 @@ object Multimodal {
       nTop += 1
       fourcc(off) match {
         case "ftyp" => sawFtyp = true
-        case "mdat" => mdatLen = (size - 8).toInt
+        case "mdat" => mdatLen = (size - 8).toInt; mdatOff = off + 8
         case "moov" =>
           var o = off + 8
           val end = off + size.toInt
@@ -222,7 +257,7 @@ object Multimodal {
     }
     if (!sawFtyp || timescale <= 0 || duration < 0) None
     else Some(Mp4Meta(duration * 1000L / timescale, timescale, w, h,
-      mdatLen, nTop))
+      mdatLen, nTop, mdatOff))
   }
 
   private val generatedMimes =
@@ -512,6 +547,67 @@ object Multimodal {
     def frameFeatures(payload: Array[Byte], ptsMs: Long): Array[Float] = {
       val h = java.util.Arrays.hashCode(payload) ^ ptsMs.toInt
       Array.tabulate(4)(i => math.floorMod(h * (i + 1), 1000) / 1000.0f)
+    }
+  }
+
+  /** REAL pixel decode through the [[FrameDecoder]] seam, for
+    * uncompressed raw-RGB video ([[rawRgbVideoPayload]]'s layout: mdat
+    * = consecutive RGB24 rasters at the tkhd dimensions): demux the
+    * container ([[parseMp4]] — real box walk, no fixed offsets), seek
+    * to the frame whose timestamp covers `ptsMs`, rebuild the raster
+    * as a genuine `BufferedImage`, and featurize its PIXELS. Features
+    * are integer-exact on purpose — (ΣR, ΣG, ΣB, maxR, maxG, maxB, w,
+    * h); sums stay < 2²⁴ at these dimensions so the Float channel is
+    * lossless — letting a byte-level SQL oracle hard-verify the decode
+    * (`mm_frames_px`), which the documented float-feature paths can't.
+    * [[StubFrameDecoder]] is unused on this path. Per-call container
+    * re-parse is O(payload) — fine for fixture-sized media; a
+    * production decoder holds demux state per payload instead. */
+  object RawRgbFrameDecoder extends FrameDecoder {
+    def frameFeatures(payload: Array[Byte], ptsMs: Long): Array[Float] = {
+      val m = parseMp4(payload).getOrElse(return Array.fill(8)(-1.0f))
+      val frameLen = m.width * m.height * 3
+      if (frameLen <= 0 || m.mdatLen < frameLen || m.durationMs <= 0)
+        return Array.fill(8)(-1.0f)
+      val nFrames = m.mdatLen / frameLen
+      val idx = math.min(nFrames - 1L,
+        ptsMs * nFrames / m.durationMs).toInt
+      val base = m.mdatOff + idx * frameLen
+      val img = new java.awt.image.BufferedImage(m.width, m.height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < m.height) {
+        var x = 0
+        while (x < m.width) {
+          val p = base + (y * m.width + x) * 3
+          img.setRGB(x, y,
+            ((payload(p) & 0xff) << 16) | ((payload(p + 1) & 0xff) << 8) |
+              (payload(p + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      // featurize the decoded IMAGE (not the raw bytes): integer
+      // channel sums + maxima over the raster, row-major
+      val sums = new Array[Long](3); val maxs = new Array[Int](3)
+      var yy = 0
+      while (yy < m.height) {
+        var xx = 0
+        while (xx < m.width) {
+          val rgb = img.getRGB(xx, yy)
+          var c = 0
+          while (c < 3) {
+            val v = (rgb >> (16 - 8 * c)) & 0xff
+            sums(c) += v; if (v > maxs(c)) maxs(c) = v
+            c += 1
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+      Array(sums(0).toFloat, sums(1).toFloat, sums(2).toFloat,
+        maxs(0).toFloat, maxs(1).toFloat, maxs(2).toFloat,
+        m.width.toFloat, m.height.toFloat)
     }
   }
 

@@ -88,6 +88,20 @@ object Sampling {
     * desc; ties break by id asc on both paths). */
   def groupTopKIds(df: DataFrame, groupCol: String, idCol: String,
                    k: Int, salt: String = "graft-topk"): DataFrame = {
+    // integral ids ONLY: the id rides through a bigint-typed aggregate
+    // slot, so a string/decimal id would cast to null (runtime encoder
+    // failure) or silently reorder ties vs groupTopK's native string
+    // order. Fail fast instead of leaving the constraint in prose.
+    val idType = df.schema(idCol).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    require(integral(idType),
+      s"groupTopKIds requires an integral id column (byte/short/int/" +
+        s"long) — '$idCol' is ${idType.sql}; use groupTopK (rank " +
+        "window, any id type) or pre-map ids to a dense bigint")
     val draw = conv(hashFrac(col(idCol), salt), 16, 10).cast("double")
     df.groupBy(col(groupCol))
       .agg(graft.functions.TopKNeighbors.topk(k)(

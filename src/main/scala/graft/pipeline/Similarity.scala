@@ -85,22 +85,33 @@ object Similarity {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"k-means sample ($sampleN) smaller than requested k=$k: " +
           s"training $kk centroids — raise sampleN for full resolution")
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
-    val xs = sample.map(normalize)
-    val dim = xs.head.length
-    def dotv(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { s += a(i) * b(i); i += 1 }; s
-    }
+    val xs = sample.map(normalizeV)
+    lloydLocal(xs, kmeansPlusPlusInit(xs, kk, seed), iters)
+  }
+
+  private[graft] def normalizeV(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private[graft] def dotV(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }; s
+  }
+
+  /** seeded k-means++ init over an in-memory normalized sample:
+    * running min-distance per sample so init is O(sampleN · k · dim),
+    * not O(sampleN · k² · dim). Inherently sequential across the k
+    * draws (each depends on all previous centroids), so it needs the
+    * sample on the driver — [[kmeansCentroidsDistributed]] uses
+    * [[hashRankInit]] instead, which doesn't. */
+  private[graft] def kmeansPlusPlusInit(xs: Array[Array[Double]],
+      kk: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    // k-means++-style seeded init: running min-distance per sample so
-    // init is O(sampleN * k * dim), not O(sampleN * k^2 * dim)
     val cents = new Array[Array[Double]](kk)
     cents(0) = xs(rnd.nextInt(xs.length))
-    val minD2 = xs.map(x => math.max(1.0 - dotv(cents(0), x), 1e-12))
+    val minD2 = xs.map(x => math.max(1.0 - dotV(cents(0), x), 1e-12))
     var nc = 1
     while (nc < kk) {
       val total = minD2.sum
@@ -113,32 +124,41 @@ object Similarity {
       parChunks(xs.length) { (s, e) =>
         var j = s
         while (j < e) {
-          val d = math.max(1.0 - dotv(cNew, xs(j)), 1e-12)
+          val d = math.max(1.0 - dotV(cNew, xs(j)), 1e-12)
           if (d < minD2(j)) minD2(j) = d
           j += 1
         }
       }
       nc += 1
     }
-    var cur = cents
+    cents
+  }
+
+  /** Lloyd refinement over an in-memory normalized sample — the
+    * driver-side engine. The O(sampleN·kk·dim) ASSIGNMENT runs in
+    * parallel chunks (independent per sample, disjoint writes); the FP
+    * ACCUMULATION is per-[[trainChunk]] subtotals in sample order
+    * combined per centroid in chunk order — the exact operation tree
+    * [[lloydDistributed]] executes on a cluster, so the two engines
+    * are BIT-IDENTICAL from the same init (pinned in PipelineSpec) and
+    * neither depends on thread count, partition count, or cluster
+    * size. */
+  private[graft] def lloydLocal(xs: Array[Array[Double]],
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    if (xs.isEmpty || init.isEmpty) return init
+    val dim = xs.head.length
+    val kk = init.length
+    var cur = init
     val assign = new Array[Int](xs.length)
     (0 until iters).foreach { _ =>
       val cs = cur
-      // the O(sampleN·kk·dim) hot loop — at the √n centroid default
-      // this is the trainer's whole cost (10⁸ vectors → nc 10⁴,
-      // sampleN 2·10⁵ → ~10¹² multiplies; single-threaded that is tens
-      // of driver-minutes). Only the per-sample ASSIGNMENT runs in
-      // parallel (independent per sample, disjoint writes); the FP
-      // accumulation below stays sequential in sample order, so the
-      // trained centroids are bit-identical to the single-threaded
-      // form no matter how many driver cores execute chunks.
       parChunks(xs.length) { (s, e) =>
         var xi = s
         while (xi < e) {
           val x = xs(xi)
           var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
           while (ci < kk) {
-            val sc = dotv(cs(ci), x)
+            val sc = dotV(cs(ci), x)
             if (sc > bestS) { bestS = sc; best = ci }
             ci += 1
           }
@@ -147,18 +167,36 @@ object Similarity {
         }
       }
       val sums = Array.fill(kk)(new Array[Double](dim))
-      val counts = new Array[Int](kk)
-      var xi = 0
-      while (xi < xs.length) {
-        val x = xs(xi); val best = assign(xi)
-        counts(best) += 1
-        var d = 0
-        while (d < dim) { sums(best)(d) += x(d); d += 1 }
-        xi += 1
+      val counts = new Array[Long](kk)
+      var cst = 0
+      while (cst < xs.length) {
+        val cen = math.min(xs.length, cst + trainChunk)
+        // chunk subtotal in sample order, folded into the global
+        // per-centroid total in chunk order — matches the distributed
+        // engine's per-chunk partials + chunkId-ordered combine
+        val sub = new java.util.HashMap[Integer, Array[Double]]()
+        var xi = cst
+        while (xi < cen) {
+          val x = xs(xi); val best = assign(xi)
+          counts(best) += 1
+          var acc = sub.get(best)
+          if (acc == null) { acc = new Array[Double](dim); sub.put(best, acc) }
+          var d = 0
+          while (d < dim) { acc(d) += x(d); d += 1 }
+          xi += 1
+        }
+        val it = sub.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val tgt = sums(e.getKey); val src = e.getValue
+          var d = 0
+          while (d < dim) { tgt(d) += src(d); d += 1 }
+        }
+        cst = cen
       }
       cur = cur.zipWithIndex.map { case (old, ci) =>
         if (counts(ci) == 0) old
-        else normalize(sums(ci).map(_ / counts(ci)))
+        else normalizeV(sums(ci).map(_ / counts(ci)))
       }
     }
     cur
@@ -169,12 +207,201 @@ object Similarity {
     * callers either write disjoint ranges or combine per-sample
     * results sequentially afterwards — so results never depend on the
     * driver's core count (parallelism changes WHO runs a chunk, never
-    * an accumulation order). */
+    * an accumulation order). `trainChunk` is ALSO the accumulation
+    * granularity both Lloyd engines share — changing it changes
+    * trained low bits, so it is a single constant, not a knob. */
   private val trainChunk = 2048
   private def parChunks(n: Int)(f: (Int, Int) => Unit): Unit = {
     java.util.stream.IntStream
       .range(0, (n + trainChunk - 1) / trainChunk).parallel()
       .forEach(c => f(c * trainChunk, math.min(n, (c + 1) * trainChunk)))
+  }
+
+  /** routes a sample index to the partition owning its accumulation
+    * chunk — whole chunks per partition, so per-chunk subtotals are
+    * never split across tasks (splitting would change the FP
+    * operation tree). Placement (which partition owns a chunk) is
+    * irrelevant to results; only chunk INTEGRITY matters. */
+  private class ChunkPartitioner(p: Int, chunk: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = p
+    override def getPartition(key: Any): Int =
+      ((key.asInstanceOf[Long] / chunk) % p).toInt
+  }
+
+  /** splitmix64 — the seeded uniform draw behind [[hashRankInit]]'s
+    * rank order. Pure function of (seed, sidx): deterministic across
+    * cluster sizes and runs. */
+  private def mix64(seed: Long, x: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L * (x + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic distributed training sample: the `sampleN`
+    * lowest-id rows as an RDD of (sidx, L2-normalized vector), where
+    * sidx is the rank in id order and partitions hold whole
+    * accumulation chunks sorted by sidx. The only driver-side
+    * materialization is the id THRESHOLD probe (ids only — 8 bytes ×
+    * sampleN at worst, executor-side bounded sort); the vectors
+    * themselves never leave the executors. Ids must be unique (ties
+    * at the threshold would over-admit). */
+  private[graft] def sampleFrame(df: DataFrame, idCol: String,
+      vecCol: String, sampleN: Int)
+      : org.apache.spark.rdd.RDD[(Long, Array[Double])] = {
+    val projected = df
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+    val thrRow = projected.select("id").orderBy("id").limit(sampleN)
+      .agg(max(col("id")).as("thr")).collect()(0)
+    if (thrRow.isNullAt(0))
+      return df.sparkSession.sparkContext
+        .emptyRDD[(Long, Array[Double])]
+    val within = projected.where(col("id") <= lit(thrRow.get(0)))
+    // global rank via sort + zipWithIndex: range partitions ascend and
+    // sortWithinPartitions orders within, so index ≡ rank in id order
+    // regardless of where the range boundaries fall (ids are unique)
+    val sorted = within.repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
+    val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    sorted.rdd.zipWithIndex().map { case (row, sidx) =>
+      (sidx, normalizeV(row.getSeq[Double](1).toArray))
+    }.repartitionAndSortWithinPartitions(
+      new ChunkPartitioner(p, trainChunk))
+  }
+
+  /** seeded hash-ranked uniform init: the kk sample vectors with the
+    * smallest (splitmix64(seed, sidx), sidx) — a deterministic
+    * without-replacement uniform draw computed with bounded
+    * executor-side heaps (`takeOrdered`), collecting only the kk init
+    * vectors. This is the standard IVF trainer init at large nc
+    * (uniform subsample + Lloyd); k-means++ needs the whole sample on
+    * the driver and k sequential passes, which is exactly what the
+    * distributed trainer exists to avoid. */
+  private[graft] def hashRankInit(
+      sample: org.apache.spark.rdd.RDD[(Long, Array[Double])],
+      kk: Int, seed: Long): Array[Array[Double]] =
+    sample.map { case (sidx, v) => ((mix64(seed, sidx), sidx), v) }
+      .takeOrdered(kk)(Ordering.by(_._1))
+      .map(_._2)
+
+  /** Lloyd refinement on EXECUTORS — the scale engine behind
+    * [[kmeansCentroidsDistributed]]. Per iteration: broadcast the
+    * current centroids; one mapPartitions pass assigns each sample to
+    * its best centroid and emits per-[[trainChunk]] sparse subtotals
+    * (accumulated in sidx order within the chunk — partitions are
+    * chunk-aligned and pre-sorted by [[sampleFrame]], so this
+    * streams); one shuffle groups partials by centroid and folds them
+    * in chunkId order; the driver collects only the kk×dim result.
+    * The operation tree — chunk subtotals in sample order, combined
+    * per centroid in chunk order — is exactly [[lloydLocal]]'s, so
+    * the engines are bit-identical from the same init and the output
+    * never depends on cluster size, partition placement, or task
+    * order. */
+  private[graft] def lloydDistributed(
+      sample: org.apache.spark.rdd.RDD[(Long, Array[Double])],
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    if (init.isEmpty) return init
+    val sc = sample.sparkContext
+    val kk = init.length
+    val dim = init.head.length
+    var cur = init
+    (0 until iters).foreach { _ =>
+      val bc = sc.broadcast(cur)
+      val partials = sample.mapPartitions { it =>
+        val cs = bc.value
+        val out = Seq.newBuilder[(Int, (Long, Long, Array[Double]))]
+        var chunkId = -1L
+        var sub: java.util.HashMap[Integer, Array[Double]] = null
+        var cnt: java.util.HashMap[Integer, Long] = null
+        def flush(): Unit = if (sub != null) {
+          val e = sub.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            out += ((en.getKey.intValue(),
+              (chunkId, cnt.get(en.getKey), en.getValue)))
+          }
+        }
+        it.foreach { case (sidx, x) =>
+          val c = sidx / trainChunk
+          if (c != chunkId) {
+            flush()
+            chunkId = c
+            sub = new java.util.HashMap[Integer, Array[Double]]()
+            cnt = new java.util.HashMap[Integer, Long]()
+          }
+          var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
+          while (ci < kk) {
+            val sc2 = dotV(cs(ci), x)
+            if (sc2 > bestS) { bestS = sc2; best = ci }
+            ci += 1
+          }
+          var acc = sub.get(best)
+          if (acc == null) {
+            acc = new Array[Double](dim); sub.put(best, acc)
+            cnt.put(best, 0L)
+          }
+          cnt.put(best, cnt.get(best) + 1)
+          var d = 0
+          while (d < dim) { acc(d) += x(d); d += 1 }
+        }
+        flush()
+        out.result().iterator
+      }
+      val totals = partials.groupByKey(math.max(1, sc.defaultParallelism))
+        .mapValues { chunks =>
+          val ordered = chunks.toArray.sortBy(_._1)
+          val sum = new Array[Double](dim)
+          var count = 0L
+          ordered.foreach { case (_, c, sub) =>
+            count += c
+            var d = 0
+            while (d < dim) { sum(d) += sub(d); d += 1 }
+          }
+          (count, sum)
+        }
+        .collect().toMap
+      bc.destroy()
+      cur = cur.zipWithIndex.map { case (old, ci) =>
+        totals.get(ci) match {
+          case Some((count, sum)) if count > 0 =>
+            normalizeV(sum.map(_ / count))
+          case _ => old
+        }
+      }
+    }
+    cur
+  }
+
+  /** [[kmeansCentroids]]'s executor-side twin — same spherical Lloyd
+    * semantics, same bounded lowest-id sample, but the sample is never
+    * materialized on the driver: training state held driver-side is
+    * only the kk×dim centroid matrix (collected per iteration and
+    * broadcast back). Init is [[hashRankInit]] (seeded uniform) rather
+    * than k-means++ — the inherently-sequential-over-k init is the
+    * one piece that cannot ship to executors cheaply; at the large
+    * centroid counts this path exists for (nc ≥ 10³, where √n default
+    * meets 10⁶⁺-row corpora), uniform init + Lloyd is the standard
+    * IVF trainer recipe and recall parity is pinned in PipelineSpec.
+    * From the SAME init, the refinement itself is bit-identical to
+    * the driver engine (also pinned). */
+  def kmeansCentroidsDistributed(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int = 8, sampleN: Int = 10000,
+      seed: Long = 42): Array[Array[Double]] = {
+    val sample = sampleFrame(df, idCol, vecCol, sampleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sample.count()
+      if (n == 0) return Array.empty
+      val kk = math.min(k.toLong, n).toInt
+      if (kk < k && n == sampleN)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"k-means sample ($sampleN) smaller than requested k=$k: " +
+            s"training $kk centroids — raise sampleN for full resolution")
+      lloydDistributed(sample, hashRankInit(sample, kk, seed), iters)
+    } finally { sample.unpersist(); () }
   }
 
   /** IVF-style ANN: a coarse quantizer (seeded k-means over a bounded
@@ -198,6 +425,13 @@ object Similarity {
   def effectiveSampleN(sampleN: Int, nc: Int): Int =
     math.max(sampleN, 20 * nc)
 
+  /** above this centroid count [[ivfTopK]] trains on executors
+    * ([[kmeansCentroidsDistributed]]): at the √n default, nc crosses
+    * this near n ≈ 1.7·10⁷ rows, where the 20·nc-vector sample stops
+    * being a sane driver collect. Below it, the driver engine's
+    * k-means++ init is cheap and strictly better-conditioned. */
+  val distributedTrainThreshold = 4096
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
               nCentroids: Int = 0, nProbe: Int = 3,
               stagingDir: Option[String] = None,
@@ -205,8 +439,11 @@ object Similarity {
     val nc =
       if (nCentroids > 0) nCentroids
       else math.max(4, math.ceil(math.sqrt(df.count().toDouble)).toInt)
-    val cents = kmeansCentroids(df, idCol, vecCol, nc,
-      sampleN = effectiveSampleN(sampleN, nc))
+    val effN = effectiveSampleN(sampleN, nc)
+    val cents =
+      if (nc > distributedTrainThreshold)
+        kmeansCentroidsDistributed(df, idCol, vecCol, nc, sampleN = effN)
+      else kmeansCentroids(df, idCol, vecCol, nc, sampleN = effN)
     stagingDir.foreach { dir => stageCentroids(df, cents, dir) }
     ivfTopKWithCentroids(df, idCol, vecCol, cents, k, nProbe)
   }

@@ -127,6 +127,19 @@ class PipelineSpec extends SparkTestBase {
       truthSet.size
     assert(recall >= 0.9, s"IVF recall@3 on clustered data = $recall")
     assert(qIds.nonEmpty)
+    // the executor-side trainer must reach the same recall bar from
+    // its hash-ranked uniform init (same corpus, same truth set) —
+    // the quality pin for the nc>threshold auto-switch in ivfTopK
+    val centsD = Similarity.kmeansCentroidsDistributed(df, "vec_id",
+      "embedding", k = 224, sampleN = 10000)
+    val approxD = Similarity.ivfTopKWithCentroids(df, "vec_id",
+        "embedding", centsD, k = 3, nProbe = 5)
+      .select("id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallD = truthSet.count(approxD.contains).toDouble /
+      truthSet.size
+    assert(recallD >= 0.9,
+      s"distributed-trained IVF recall@3 = $recallD (driver $recall)")
     // bucket balance: trained quantizer must not degenerate — max
     // bucket bounded by a small multiple of the mean assignment
     val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", 224)
@@ -500,6 +513,101 @@ class PipelineSpec extends SparkTestBase {
     c1.zip(c2).zipWithIndex.foreach { case ((a, b), i) =>
       assert(java.util.Arrays.equals(a, b), s"centroid $i diverged")
     }
+  }
+
+  test("distributed Lloyd engine ≡ driver Lloyd engine bit-for-bit " +
+       "from the same init (cluster/partition layout can never change " +
+       "the trained centroids)") {
+    val sample = Similarity.sampleFrame(emb, "vec_id", "embedding", 500)
+      .persist()
+    try {
+      val xs = sample.collect().sortBy(_._1).map(_._2)
+      assert(xs.length == 500)
+      val init = Similarity.kmeansPlusPlusInit(xs, 24, seed = 42)
+      val viaDriver = Similarity.lloydLocal(xs, init, iters = 4)
+      val viaCluster = Similarity.lloydDistributed(sample, init, iters = 4)
+      assert(viaDriver.length == 24 && viaCluster.length == 24)
+      viaDriver.zip(viaCluster).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.util.Arrays.equals(a, b),
+          s"centroid $i diverged between engines")
+      }
+    } finally { sample.unpersist(); () }
+  }
+
+  test("distributed trainer at nc=20k: trains the full complement " +
+       "deterministically with only kk×dim driver-side state") {
+    // The scale regime the executor-side trainer exists for: a 20k
+    // centroid request whose 40k-vector sample should never be
+    // collected (lloydDistributed's only driver materializations are
+    // the per-iteration kk×dim totals and the init vectors — there is
+    // no sample collect on this path by construction; this test
+    // witnesses the path WORKS at a kk where the driver engine's
+    // O(sampleN·kk) k-means++ init alone would dominate the suite).
+    val n = 200000L; val dim = 4
+    val vec = array((0 until dim).map(d =>
+      (pmod(xxhash64(col("id"), lit(d)), lit(1000)) / lit(500.0) - 1.0)
+        .cast("float")): _*)
+    val df = spark.range(0, n, 1, 8)
+      .select(col("id").as("vec_id"), vec.as("embedding"))
+    def train() = Similarity.kmeansCentroidsDistributed(df, "vec_id",
+      "embedding", k = 20000, iters = 1, sampleN = 40000)
+    val c1 = train()
+    assert(c1.length == 20000)
+    val unit = c1.count(c =>
+      math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    assert(unit >= 19000, s"only $unit/20000 centroids unit-normalized")
+    val distinct = c1.map(_.toSeq).toSet.size
+    assert(distinct > 15000, s"degenerate init: $distinct distinct")
+    val c2 = train()
+    c1.zip(c2).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(java.util.Arrays.equals(a, b), s"centroid $i diverged")
+    }
+  }
+
+  test("raw-RGB video fixture: RawRgbFrameDecoder's pixel features " +
+       "equal brute-force mdat byte sums; frame grid is mvhd-exact; " +
+       "the stub is really displaced") {
+    val ids = Seq("rvA", "rvB", "rvC17")
+    for (id <- ids) {
+      val payload = Multimodal.rawRgbVideoPayload(id)
+      val m = Multimodal.parseMp4(payload).get
+      val frameLen = m.width * m.height * 3
+      val nFrames = m.mdatLen / frameLen
+      assert(m.durationMs == nFrames * 250L)
+      assert(m.mdatOff == 248, s"canonical mdat offset moved: ${m.mdatOff}")
+      for (f <- 0 until nFrames) {
+        val pts = f * 250L
+        val got = Multimodal.RawRgbFrameDecoder.frameFeatures(payload, pts)
+        // brute force straight off the container bytes, no BufferedImage
+        val base = m.mdatOff + f * frameLen
+        val chan = Array.fill(3)(0L); val mx = Array.fill(3)(0)
+        for (p <- 0 until m.width * m.height; c <- 0 until 3) {
+          val v = payload(base + p * 3 + c) & 0xff
+          chan(c) += v; if (v > mx(c)) mx(c) = v
+        }
+        assert(got.toSeq == Seq(chan(0).toFloat, chan(1).toFloat,
+          chan(2).toFloat, mx(0).toFloat, mx(1).toFloat, mx(2).toFloat,
+          m.width.toFloat, m.height.toFloat),
+          s"$id frame $f: ${got.toSeq}")
+        // injection check: the stub's hash features cannot coincide
+        // with all six integer channels
+        val stub = Multimodal.StubFrameDecoder.frameFeatures(payload, pts)
+        assert(stub.toSeq != got.toSeq.take(stub.length))
+      }
+    }
+    // end-to-end through sampleFrames: one row per 250 ms frame, count
+    // from the REAL mvhd duration, features from the injected decoder
+    import spark.implicits._
+    val media = ids.map(id => Multimodal.MediaRow(id, "video/mp4",
+      Multimodal.rawRgbVideoPayload(id))).toDF()
+    val rows = Multimodal.sampleFrames(media, everyMs = 250,
+      decoder = Multimodal.RawRgbFrameDecoder).collect()
+    val wantRows = ids.map { id =>
+      val m = Multimodal.parseMp4(Multimodal.rawRgbVideoPayload(id)).get
+      m.mdatLen / (m.width * m.height * 3)
+    }.sum
+    assert(rows.length == wantRows)
+    assert(rows.forall(_.feature.forall(_ >= 0f)))
   }
 
   test("IVF candidate pairs are unique without dedup (one indexed " +

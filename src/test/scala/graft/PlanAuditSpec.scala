@@ -61,14 +61,17 @@ class PlanAuditSpec extends SparkTestBase {
 
   /** per-query shuffle-count ceilings (recorded goldens — see scaladoc).
     * Counts include exchanges inside persisted frames' build plans
-    * (paid once at materialization) — e.g. decontam_bloom's 10 counts
-    * the eval-gram cache build and the scalar-subquery filter build.
-    * The multi-stage heavies are documented shapes: dedup_canonical 9
+    * (paid once at materialization) — e.g. decontam_bloom's 9 counts
+    * the eval-gram cache build and the scalar-subquery filter build;
+    * see PLANS.md "decontam_bloom exchange accounting" for the
+    * node-by-node table (9 counted = 7 paid: the shared cache build
+    * prints under two referencing subtrees with fresh plan_ids). The
+    * multi-stage heavies are documented shapes: dedup_canonical 9
     * (minhash bands + CC rounds + keep-list), vocab_build 6 (two-phase
     * histogram-offset rank), decontam_overlap 6 (gram dedup + agg). */
   private val shuffleGolden: Map[String, Int] = Map(
     "ann_cosine_topk" -> 2, "ann_ivf_topk" -> 2, "ann_lsh_topk" -> 3,
-    "cube_lineitem" -> 2, "decontam_bloom" -> 10,
+    "cube_lineitem" -> 2, "decontam_bloom" -> 9,
     "decontam_overlap" -> 6, "dedup_canonical" -> 9,
     "dedup_components" -> 3, "dedup_embedding_cosine" -> 1,
     "dedup_embedding_lsh" -> 2, "dedup_exact_events" -> 2,
@@ -77,7 +80,8 @@ class PlanAuditSpec extends SparkTestBase {
     "dedup_span_coverage" -> 3, "dedup_url" -> 2,
     "drift_events_value" -> 0, "drift_profile_documents" -> 4,
     "emb_project" -> 1, "filter_report" -> 1, "hist_doc_length" -> 2,
-    "mm_features" -> 2, "mm_frames" -> 1, "mm_resize" -> 1,
+    "mm_features" -> 2, "mm_frames" -> 1, "mm_frames_px" -> 1,
+    "mm_resize" -> 1,
     "pack_sequences" -> 2, "pack_sequences_by_lang" -> 2,
     "pii_scrub" -> 1, "q1_agg" -> 3, "ref_lineitem_part" -> 2,
     "ref_lineitem_part_keys" -> 3, "sample_group_topk" -> 2,

@@ -225,4 +225,41 @@ class PropertySpec extends SparkTestBase {
         s"k=$k diverged on seeded random candidates")
     }
   }
+
+  test("property: Utf8Order surrogate-aware fast path ≡ byte compare " +
+       "(500 seeded pairs incl. astral/high-BMP/prefix edges)") {
+    def byteCmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    // alphabet engineered around the divergence zones: ASCII, high BMP
+    // (≥ U+E000, above the surrogate range in UTF-16 but 3-byte in
+    // UTF-8), astral chars (surrogate pairs, 4-byte), and a lone high
+    // surrogate (encodes as '?') — plus empty/prefix shapes
+    val atoms = Seq("", "a", "b", "é", "￠", "",
+      "𝟘", "😀", "\ud835", "ab", "a￠",
+      "a𝟘", "a\ud835")
+    val rnd = new scala.util.Random(20260820)
+    val strs = Seq.fill(500)(
+      Seq.fill(rnd.nextInt(4))(atoms(rnd.nextInt(atoms.size))).mkString)
+    for (a <- atoms ++ strs.take(40); b <- atoms) {
+      val got = Integer.signum(graft.functions.Utf8Order.cmpStrings(a, b))
+      val want = Integer.signum(byteCmp(a, b))
+      assert(got == want,
+        s"cmpStrings(${a.map(_.toInt.toHexString)}, " +
+          s"${b.map(_.toInt.toHexString)}) = $got, byte order says $want")
+    }
+    for (Seq(a, b) <- strs.grouped(2)) {
+      assert(Integer.signum(graft.functions.Utf8Order.cmpStrings(a, b)) ==
+        Integer.signum(byteCmp(a, b)))
+    }
+  }
 }

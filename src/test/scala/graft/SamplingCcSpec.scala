@@ -190,4 +190,13 @@ class SamplingCcSpec extends SparkTestBase {
       assert(viaAgg == viaWindow, s"k=$k diverged")
     }
   }
+
+  test("groupTopKIds rejects non-integral id columns fast") {
+    val stringIds = docs.withColumn("doc_id", col("doc_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.groupTopKIds(stringIds, "lang", "doc_id", 3)
+    }
+    assert(e.getMessage.contains("integral id column"))
+    assert(e.getMessage.contains("groupTopK"))
+  }
 }

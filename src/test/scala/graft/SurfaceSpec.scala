@@ -464,6 +464,14 @@ class SurfaceSpec extends SparkTestBase {
         .orderBy("doc_id", "path").collect().toSeq
       assert(viaAgg == viaWindow, s"samplePerCheck k=$kk diverged")
     }
+    // a wider frame (allViolations' seq) errors instead of silently
+    // dropping columns through the six-column aggregate encoder
+    val wide = ViolationOps.allViolations(docs, SpanDocs.contract,
+      "doc_id", "docs")
+    val eWide = intercept[IllegalArgumentException] {
+      ViolationOps.samplePerCheck(wide, 3)
+    }
+    assert(eWide.getMessage.contains("canonical violation columns"))
     val (missing, unexpected) = ViolationOps.diff(v, v)
     assert(missing.count() == 0 && unexpected.count() == 0)
     // dropping rows from the actual set shows up as `missing`

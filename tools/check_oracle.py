@@ -1,29 +1,84 @@
 import duckdb, json, sys, glob, os
-out = sys.argv[1] if len(sys.argv)>1 else '/tmp/verify_out'
-sf  = sys.argv[2] if len(sys.argv)>2 else '/root/testdata/sf0.01'
-con = duckdb.connect()
-for p in glob.glob(f'{sf}/*.parquet'):
-    name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
-oracle = json.load(open(f'{out}/oracle_sql.json'))
-for name, sql in sorted(oracle.items()):
-    try:
-        exp = con.execute(sql).fetchdf()
-        got = duckdb.connect().execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
-        # driver-style: sort columns by name
-        exp = exp[sorted(exp.columns)]; got = got[sorted(got.columns)]
-        if list(exp.columns) != list(got.columns):
-            print(f"{name}: COLUMN MISMATCH exp={list(exp.columns)} got={list(got.columns)}"); continue
-        if len(exp) != len(got):
-            print(f"{name}: ROWCOUNT exp={len(exp)} got={len(got)}"); continue
-        exp2 = exp.reset_index(drop=True); got2 = got.reset_index(drop=True)
-        diff = (exp2.astype(str) != got2.astype(str))
-        if diff.any().any():
-            bad = diff.any(axis=1)
-            print(f"{name}: VALUE MISMATCH rows={bad.sum()}")
-            print("exp:", exp2[bad].head(3).to_dict('records'))
-            print("got:", got2[bad].head(3).to_dict('records'))
+
+# Float-boundary tolerance (PLANS.md "tfidf 1-ulp boundary"): tfidf and
+# the JL projections are round(expr, 4) of values whose ln/FP-sum may
+# differ by 1 ulp across engines, which can flip the 4th decimal of a
+# score sitting within 1 ulp of a .00005 boundary WITHOUT changing any
+# rank. For the designated float columns only, a cell that fails the
+# byte compare passes if the numeric difference is <= one step of the
+# 4th decimal; every other column stays byte-exact — so a RANK flip
+# (term/rank/neighbor/id columns reordering) still fails, which is the
+# "catches rank parity" half of the contract
+# (tools/check_oracle_tolerance_test.py proves both halves on
+# constructed frames). Set GRAFT_ORACLE_STRICT=1 to disable.
+FLOAT_TOL = {
+    'text_tfidf': {'tfidf'},
+    'emb_project': {f'p{i}' for i in range(8)},
+}
+ATOL = 1.0001e-4
+
+
+def compare_frames(name, exp, got, strict=False):
+    """driver-style compare; returns a status string starting with 'OK'
+    on match."""
+    exp = exp[sorted(exp.columns)]
+    got = got[sorted(got.columns)]
+    if list(exp.columns) != list(got.columns):
+        return (f"COLUMN MISMATCH exp={list(exp.columns)} "
+                f"got={list(got.columns)}")
+    if len(exp) != len(got):
+        return f"ROWCOUNT exp={len(exp)} got={len(got)}"
+    exp2 = exp.reset_index(drop=True)
+    got2 = got.reset_index(drop=True)
+    diff = (exp2.astype(str) != got2.astype(str))
+    if not diff.any().any():
+        return f"OK ({len(exp)} rows)"
+    tolcols = set() if strict else FLOAT_TOL.get(name, set())
+    bad_cols = [c for c in exp2.columns if diff[c].any()]
+    if tolcols and set(bad_cols) <= tolcols:
+        import pandas as pd
+        ncell = 0
+        for c in bad_cols:
+            m = diff[c]
+            a = pd.to_numeric(exp2[c][m], errors='coerce')
+            b = pd.to_numeric(got2[c][m], errors='coerce')
+            if a.isna().any() or b.isna().any() or \
+               not ((a - b).abs() <= ATOL).all():
+                break
+            ncell += int(m.sum())
         else:
-            print(f"{name}: OK ({len(exp)} rows)")
-    except Exception as e:
-        print(f"{name}: ERROR {e}")
+            return (f"OK ({len(exp)} rows, {ncell} cells within the "
+                    f"4th-decimal tolerance on {sorted(bad_cols)})")
+    bad = diff.any(axis=1)
+    return ("VALUE MISMATCH rows=%d\nexp: %s\ngot: %s" % (
+        bad.sum(), exp2[bad].head(3).to_dict('records'),
+        got2[bad].head(3).to_dict('records')))
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
+    sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+    strict = os.environ.get('GRAFT_ORACLE_STRICT') == '1'
+    con = duckdb.connect()
+    for p in glob.glob(f'{sf}/*.parquet'):
+        name = os.path.basename(p)[:-8]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f'{out}/oracle_sql.json'))
+    failed = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetchdf()
+            got = duckdb.connect().execute(
+                f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
+            status = compare_frames(name, exp, got, strict)
+            print(f"{name}: {status}")
+            if not status.startswith('OK'):
+                failed += 1
+        except Exception as e:
+            print(f"{name}: ERROR {e}")
+            failed += 1
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == '__main__':
+    main()
