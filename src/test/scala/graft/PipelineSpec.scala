@@ -564,6 +564,23 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("ivfTopK auto-selects the executor-side trainer above the " +
+       "centroid threshold (results identical to calling it explicitly)") {
+    val nc = Similarity.distributedTrainThreshold + 1
+    val viaAuto = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 2,
+        nCentroids = nc, nProbe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val cents = Similarity.kmeansCentroidsDistributed(emb, "vec_id",
+      "embedding", k = nc,
+      sampleN = Similarity.effectiveSampleN(10000, nc))
+    val viaExplicit = Similarity.ivfTopKWithCentroids(emb, "vec_id",
+        "embedding", cents, k = 2, nProbe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaAuto.nonEmpty && viaAuto == viaExplicit,
+      "auto path diverged from the explicit distributed trainer — " +
+        "the threshold switch routed to the driver engine")
+  }
+
   test("raw-RGB video fixture: RawRgbFrameDecoder's pixel features " +
        "equal brute-force mdat byte sums; frame grid is mvhd-exact; " +
        "the stub is really displaced") {
