@@ -564,6 +564,58 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("IvfScorer block-pruned scan ≡ exhaustive scan bit-for-bit " +
+       "(nc=1200 clustered + uniform; null/NaN/∞ inputs fall back)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dim = 8
+    // 30 loose clusters of 40 centroids each, unit-normalized — the
+    // regime where block pruning actually prunes; parity must hold
+    // regardless
+    val cents = Array.tabulate(1200) { i =>
+      val c = i / 40
+      val raw = Array.tabulate(dim)(d =>
+        math.sin(c * 131.0 + d * 17.0) +
+          0.05 * math.sin(i * 31.0 + d * 7.0))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val sc = new graft.functions.IvfScorer(cents, 5, floatInput = false)
+    def run(vals: Array[Any]): (Seq[(Long, Int)], Seq[(Long, Int)]) = {
+      val vec = new GenericArrayData(vals)
+      // bit-compare scores (NaN ≠ NaN under ==; ±0.0 stays distinct)
+      def decode(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+        (0 until a.numElements()).map { i =>
+          val r = a.getStruct(i, 2)
+          (java.lang.Double.doubleToLongBits(r.getDouble(0)), r.getInt(1))
+        }
+      (decode(sc.topBuckets(vec)),
+        decode(sc.topBucketsFlat(new GenericArrayData(vals))))
+    }
+    val rnd = new scala.util.Random(20260820)
+    for (t <- 0 until 400) {
+      // half near-cluster (heavy pruning), half uniform (weak pruning)
+      val vals: Array[Any] =
+        if (t % 2 == 0) cents(rnd.nextInt(1200))
+          .map(x => (x + 0.1 * rnd.nextGaussian()): Any)
+        else Array.fill(dim)(rnd.nextGaussian(): Any)
+      val (blocked, flat) = run(vals)
+      assert(blocked == flat, s"case $t diverged")
+    }
+    // adversarial: nulls inside the vector, NaN and ∞ elements (the
+    // non-finite-norm fallback), short and long vectors
+    val edges: Seq[Array[Any]] = Seq(
+      Array[Any](1.0, null, 0.5, null, -1.0, 2.0, 0.0, 1.5),
+      Array[Any](Double.NaN, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+      Array[Any](Double.PositiveInfinity, 1.0, 1.0, 1.0, 1.0, 1.0,
+        1.0, 1.0),
+      Array[Any](1.0, 2.0),
+      Array.fill(16)(0.25: Any))
+    edges.foreach { vals =>
+      val (blocked, flat) = run(vals)
+      assert(blocked == flat, s"edge ${vals.toSeq} diverged")
+    }
+  }
+
   test("ivfTopK auto-selects the executor-side trainer above the " +
        "centroid threshold (results identical to calling it explicitly)") {
     val nc = Similarity.distributedTrainThreshold + 1
