@@ -174,11 +174,19 @@ class IvfScorer(cents: Array[Array[Double]], nProbe: Int,
     * None = flat scanning. */
   private val blocks
       : Option[(Array[Array[Double]], Array[Double], Array[Array[Int]])] =
+    // ragged centroid sets (unequal lengths) stay flat: the block
+    // build assumes a uniform dim, and a bound computed in fewer
+    // dimensions than a member's score would not be an upper bound —
+    // the flat scan's per-centroid min() handles ragged inputs
+    // correctly, so route them there
     if (nc < blockMin ||
+        cents.exists(_.length != dim) ||
         cents.exists(_.exists(x => !java.lang.Double.isFinite(x)))) None
     else {
       val kb = math.ceil(math.sqrt(nc.toDouble)).toInt
-      if (5.0 * nc * kb * dim > maxBuildFlops) None
+      // kb ≤ 1024 keeps the packed sort key's low-bits block id exact;
+      // maxBuildFlops caps nc (hence kb) far below this at any real dim
+      if (kb > 1024 || 5.0 * nc * kb * dim > maxBuildFlops) None
       else {
         var mus = Array.tabulate(kb)(b =>
           cents((b.toLong * nc / kb).toInt).clone())
@@ -239,7 +247,7 @@ class IvfScorer(cents: Array[Array[Double]], nProbe: Int,
     }
 
   def topBuckets(vec: ArrayData): ArrayData = blocks match {
-    case Some((mus, radii, members)) =>
+    case Some((mus, radii, members)) if nProbe > 0 =>
       val n = math.min(vec.numElements(), dim)
       var q2 = 0.0
       var i = 0
@@ -256,25 +264,46 @@ class IvfScorer(cents: Array[Array[Double]], nProbe: Int,
         val topC = new Array[Int](k)
         var size = 0
         val bound = new Array[Double](kb)
+        // packed visit order: ~ascendingSortKey(bound) in the high 54
+        // bits (ascending long sort ⇒ descending bound) with the block
+        // id exact in the low 10 bits (kb ≤ 1024, asserted at build) —
+        // one primitive Arrays.sort(long[]), no boxing in the per-row
+        // loop. Low-bit truncation of the double can only perturb the
+        // VISIT ORDER between near-equal bounds; correctness never
+        // depends on it because every block is tested against its own
+        // full-precision bound below (no order-dependent early break).
+        val order = new Array[Long](kb)
         var b = 0
         while (b < kb) {
-          val raw = score(vec, mus(b)) + qn * radii(b)
-          bound(b) = raw + 1e-9 * (1.0 + math.abs(raw))
+          // bound slack: FP summation error of the dot is ABSOLUTE in
+          // the summand magnitudes (≤ dim·ε·Σ|qᵢ·μᵢ|), so under heavy
+          // cancellation a slack relative to the near-zero RESULT
+          // would under-cover — accumulate Σ|qᵢ·μᵢ| alongside and
+          // scale the slack by it (1e-9 ≥ 4500·ε·1000, orders of
+          // magnitude above the true error for any dim ≤ 4·10⁶)
+          val mu = mus(b)
+          val nn = math.min(vec.numElements(), mu.length)
+          var s = 0.0; var absSum = 0.0
+          var j = 0
+          while (j < nn) {
+            if (!vec.isNullAt(j)) {
+              val t = elem(vec, j) * mu(j)
+              s += t; absSum += math.abs(t)
+            }
+            j += 1
+          }
+          val raw = s + qn * radii(b)
+          bound(b) = raw + 1e-9 * (1.0 + absSum + qn * radii(b))
+          val bits = java.lang.Double.doubleToLongBits(bound(b))
+          val asc = bits ^ ((bits >> 63) | java.lang.Long.MIN_VALUE)
+          order(b) = (~asc & ~1023L) | b.toLong
           b += 1
         }
-        val order = Array.tabulate[Integer](kb)(identity)
-        java.util.Arrays.sort(order,
-          (x: Integer, y: Integer) => {
-            val c = java.lang.Double.compare(bound(y.intValue()),
-              bound(x.intValue()))
-            if (c != 0) c else Integer.compare(x.intValue(), y.intValue())
-          })
+        java.util.Arrays.sort(order)
         var oi = 0
-        var done = false
-        while (oi < kb && !done) {
-          val blk = order(oi).intValue()
-          if (size == k && bound(blk) < topS(k - 1)) done = true
-          else {
+        while (oi < kb) {
+          val blk = (order(oi) & 1023L).toInt
+          if (!(size == k && bound(blk) < topS(k - 1))) {
             val ms = members(blk)
             var mi = 0
             while (mi < ms.length) {
@@ -287,7 +316,7 @@ class IvfScorer(cents: Array[Array[Double]], nProbe: Int,
         }
         emit(topS, topC, size)
       }
-    case None => topBucketsFlat(vec)
+    case _ => topBucketsFlat(vec)
   }
 
   /** the historical exhaustive scan — the audit twin of the pruned

@@ -107,10 +107,18 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the document's shingle hashes — pure SQL HOFs. */
-  def minhashSignature(grams: Column, numHashes: Int): Column =
+    * the min over the document's shingle hashes — pure SQL HOFs. ONE
+    * definition shared with the streaming path
+    * ([[graft.streaming.StatefulDedup]]): the gram string is hashed
+    * once and the seeded draws re-hash the 8-byte value, exactly as
+    * [[minhashLshPairs]]'s aggregate form — so batch and streaming
+    * signatures for the same document stay comparable, and both skip
+    * re-hashing the gram text numHashes times. */
+  def minhashSignature(grams: Column, numHashes: Int): Column = {
+    val hashed = transform(grams, g => xxhash64(g))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(grams, g => xxhash64(g, s))))
+      s => array_min(transform(hashed, h => xxhash64(h, s))))
+  }
 
   /** MinHash+LSH near-dup pairs: banded signature buckets generate
     * candidates; exact Jaccard (array_intersect on the true shingle

@@ -310,45 +310,60 @@ object Similarity {
     var cur = init
     (0 until iters).foreach { _ =>
       val bc = sc.broadcast(cur)
+      // TRUE streaming: one chunk's partials in memory at a time — a
+      // partition owns many chunks at scale (sampleN/trainChunk/p can
+      // be hundreds), and buffering every chunk's sparse partials
+      // before returning would hold partition-sized state per task
       val partials = sample.mapPartitions { it =>
         val cs = bc.value
-        val out = Seq.newBuilder[(Int, (Long, Long, Array[Double]))]
-        var chunkId = -1L
-        var sub: java.util.HashMap[Integer, Array[Double]] = null
-        var cnt: java.util.HashMap[Integer, Long] = null
-        def flush(): Unit = if (sub != null) {
-          val e = sub.entrySet().iterator()
-          while (e.hasNext) {
-            val en = e.next()
-            out += ((en.getKey.intValue(),
-              (chunkId, cnt.get(en.getKey), en.getValue)))
+        val buf = it.buffered
+        new Iterator[(Int, (Long, Long, Array[Double]))] {
+          private var pending
+              : Iterator[(Int, (Long, Long, Array[Double]))] =
+            Iterator.empty
+          override def hasNext: Boolean = {
+            while (!pending.hasNext && buf.hasNext) {
+              // consume exactly ONE chunk (rows arrive sorted by sidx,
+              // chunks whole per partition) and emit its partials
+              val chunkId = buf.head._1 / trainChunk
+              val sub = new java.util.HashMap[Integer, Array[Double]]()
+              val cnt = new java.util.HashMap[Integer, Long]()
+              while (buf.hasNext && buf.head._1 / trainChunk == chunkId) {
+                val x = buf.next()._2
+                var best = 0
+                var bestS = Double.NegativeInfinity
+                var ci = 0
+                while (ci < kk) {
+                  val sc2 = dotV(cs(ci), x)
+                  if (sc2 > bestS) { bestS = sc2; best = ci }
+                  ci += 1
+                }
+                var acc = sub.get(best)
+                if (acc == null) {
+                  acc = new Array[Double](dim); sub.put(best, acc)
+                  cnt.put(best, 0L)
+                }
+                cnt.put(best, cnt.get(best) + 1)
+                var d = 0
+                while (d < dim) { acc(d) += x(d); d += 1 }
+              }
+              val out =
+                Seq.newBuilder[(Int, (Long, Long, Array[Double]))]
+              val e = sub.entrySet().iterator()
+              while (e.hasNext) {
+                val en = e.next()
+                out += ((en.getKey.intValue(),
+                  (chunkId, cnt.get(en.getKey), en.getValue)))
+              }
+              pending = out.result().iterator
+            }
+            pending.hasNext
+          }
+          override def next(): (Int, (Long, Long, Array[Double])) = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
           }
         }
-        it.foreach { case (sidx, x) =>
-          val c = sidx / trainChunk
-          if (c != chunkId) {
-            flush()
-            chunkId = c
-            sub = new java.util.HashMap[Integer, Array[Double]]()
-            cnt = new java.util.HashMap[Integer, Long]()
-          }
-          var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
-          while (ci < kk) {
-            val sc2 = dotV(cs(ci), x)
-            if (sc2 > bestS) { bestS = sc2; best = ci }
-            ci += 1
-          }
-          var acc = sub.get(best)
-          if (acc == null) {
-            acc = new Array[Double](dim); sub.put(best, acc)
-            cnt.put(best, 0L)
-          }
-          cnt.put(best, cnt.get(best) + 1)
-          var d = 0
-          while (d < dim) { acc(d) += x(d); d += 1 }
-        }
-        flush()
-        out.result().iterator
       }
       val totals = partials.groupByKey(math.max(1, sc.defaultParallelism))
         .mapValues { chunks =>

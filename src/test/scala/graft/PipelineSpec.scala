@@ -614,6 +614,32 @@ class PipelineSpec extends SparkTestBase {
       val (blocked, flat) = run(vals)
       assert(blocked == flat, s"edge ${vals.toSeq} diverged")
     }
+    // nProbe = 0: empty result on both paths (the pruned loop must
+    // never index topS(k-1) with k = 0)
+    val sc0 = new graft.functions.IvfScorer(cents, 0, floatInput = false)
+    val zv = new GenericArrayData(Array.fill(dim)(0.5: Any))
+    assert(sc0.topBuckets(zv).numElements() == 0)
+    assert(sc0.topBucketsFlat(zv).numElements() == 0)
+    // ragged centroid lengths: blocks disabled (a lower-dim bound
+    // would not upper-bound a full-dim member score) — the flat scan
+    // handles them via its per-centroid min(), both paths agree
+    val ragged = cents.zipWithIndex.map { case (c, i) =>
+      if (i % 7 == 0) c.take(4) else c
+    }
+    val scR = new graft.functions.IvfScorer(ragged, 5,
+      floatInput = false)
+    for (t <- 0 until 20) {
+      val vals: Array[Any] = Array.fill(dim)(rnd.nextGaussian(): Any)
+      def dec(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+        (0 until a.numElements()).map { i =>
+          val r = a.getStruct(i, 2)
+          (java.lang.Double.doubleToLongBits(r.getDouble(0)),
+            r.getInt(1))
+        }
+      assert(dec(scR.topBuckets(new GenericArrayData(vals))) ==
+        dec(scR.topBucketsFlat(new GenericArrayData(vals))),
+        s"ragged case $t diverged")
+    }
   }
 
   test("ivfTopK auto-selects the executor-side trainer above the " +
