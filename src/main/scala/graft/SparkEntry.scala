@@ -54,7 +54,17 @@ object SparkEntry {
   private def stagedSpanDocs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     stageOnce(s"${genDir(dir)}/span_docs") {
-      gen.SpanGen.docs(s, 20000, 32,
+      // 8 partitions (was 32; content is partition-invariant by the
+      // generator's contract — every field is a pure function of
+      // (seed, row id)): a 20k-row staged table in 32 files made every
+      // downstream scan stage pay 32 tasks of fixed cost — the
+      // round-6 stage probe measured the span_validate contract stage
+      // at 12.3s task-time (≈0.4s/task of expression-tree deserialize
+      // + interpreted-projection setup) for trivial data, and the
+      // 3-branch union stage at 96 tasks with 4.6s of task
+      // DESERIALIZE alone. Guide §6: fewer, larger splits. The oracle
+      // reads the same logical bytes; all query outputs sort.
+      gen.SpanGen.docs(s, 20000, 8,
         defects = gen.SpanGen.Defects(nullKind = true, badKind = true,
           textOnMedia = true, danglingRef = true, dupDocId = true,
           negOffset = true, badRef = true, rate = 200, hotKeyEvery = 500),
@@ -72,7 +82,10 @@ object SparkEntry {
     * row — a seq-ordering witness). */
   private def stagedShapes(s: SparkSession, dir: String): DataFrame =
     staged(s, s"${genDir(dir)}/shapes") {
-      s.range(0, 2000).select(
+      // 4 partitions (was session default — 32 in the bench session)
+      // for a 2000-row table: same fewer-splits rationale as
+      // stagedSpanDocs; range values are partition-invariant
+      s.range(0, 2000, 1, 4).select(
         col("id"),
         when(pmod(col("id"), lit(97)) === 0, array(lit(1L)))
           .when(pmod(col("id"), lit(89)) === 0, array(lit(1L), lit(50L)))
@@ -184,13 +197,27 @@ object SparkEntry {
     * (oneOf), regex (matches), and() chains with range + cross-field
     * predicates (contract.impl.js:642-730, :308-321, :412-418, :384-410).
     */
-  private[graft] def documentsContract: ObjectC = C.obj(
+  // lazy VAL (was def): a stable instance keys the round-6
+  // contract-compile memo (CompileCache is identity-keyed because
+  // contracts embed predicate lambdas); the reference builds contracts
+  // once at module load too
+  private[graft] lazy val documentsContract: ObjectC = C.obj(
     "doc_id" -> C.integer,
     "text" -> C.nonEmptyString,
     "lang" -> C.oneOf("en", "es", "de", "fr"),
     "source" -> C.matches("^src[0-9]+$"),
     "n_chars" -> C.and(C.integer, C.between(1, 500),
       C.pred("n_chars = length(text)")(c => c === length(col("text")))))
+
+  /** the v_shapes_all contract — a stable instance (same rationale as
+    * [[documentsContract]]: keys the identity-keyed compile memo). */
+  private lazy val shapesContract: ObjectC = C.obj(
+    "pair" -> C.tuple(C.integer, C.between(0, 9)),
+    "trip" -> C.tuple(C.string).strict,
+    "attrs" -> C.hash(C.between(0, 100)),
+    "meta" -> C.obj("lang" -> C.oneOf("en", "es"),
+      "src" -> C.matches("^ok[0-9]+$")),
+    "tag" -> C.truthy)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
@@ -300,14 +327,7 @@ object SparkEntry {
     // only row with ALL defects (a seq-ordering witness).
     "v_shapes_all" -> ((s, dir) => {
       val shapes = stagedShapes(s, dir)
-      val c = C.obj(
-        "pair" -> C.tuple(C.integer, C.between(0, 9)),
-        "trip" -> C.tuple(C.string).strict,
-        "attrs" -> C.hash(C.between(0, 100)),
-        "meta" -> C.obj("lang" -> C.oneOf("en", "es"),
-          "src" -> C.matches("^ok[0-9]+$")),
-        "tag" -> C.truthy)
-      ViolationOps.allViolations(shapes, c, "id", "shapes")
+      ViolationOps.allViolations(shapes, shapesContract, "id", "shapes")
         .select(col("doc_id"), col("seq"), col("path"), col("expected"),
           col("got"))
         .orderBy(col("doc_id").cast("long"), col("seq"))

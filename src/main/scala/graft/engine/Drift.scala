@@ -298,7 +298,10 @@ object Drift {
         .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val grid = gridOf(lo, hi, gridSize)
-    def cdf(df: DataFrame): (Array[Double], Long) = {
+    // conditional-sum CDF — the pre-round-6 form, retained as the
+    // fallback for degenerate (NaN / non-monotone) grids where the
+    // bucket⇔suffix-sum equivalence below does not hold
+    def cdfWide(df: DataFrame): (Array[Double], Long) = {
       val aggs = grid.zipWithIndex.map { case (g, i) =>
         sum(when(col("v") <= g, 1L).otherwise(0L)).as(s"c$i")
       } :+ count(lit(1)).as("n")
@@ -308,7 +311,41 @@ object Drift {
       else ((0 until gridSize).map(i => r.getLong(i).toDouble / n)
         .toArray, n)
     }
-    val (ca, nA) = cdf(a); val (cb, nB) = cdf(b)
+    val (ca, nA, cb, nB) =
+      if (!graft.functions.GridBucket.monotone(grid)) {
+        val (x, n1) = cdfWide(a); val (y, n2) = cdfWide(b)
+        (x, n1, y, n2)
+      } else {
+        // one tagged histogram job for BOTH sides: per row a ~7-compare
+        // binary search for its first covering grid point, then the
+        // exact CDF counts (#{v <= g_i} = Σ_{j<=i} hist_j — identical
+        // longs to the conditional sums, guide §1.2 "per-task work")
+        // from a driver suffix sum over ≤ 2·(gridSize+1) collected
+        // cells. Replaces two ~100-conditional aggregations (and their
+        // ~200-column codegen) plus one of the two jobs.
+        val tagged = a.select(lit(0).as("side"), col("v"))
+          .union(b.select(lit(1).as("side"), col("v")))
+        val hist = tagged
+          .groupBy(col("side"),
+            graft.functions.GridBucket.bucket(col("v"), grid).as("bkt"))
+          .agg(count(lit(1)).as("c")).collect()
+        def cdfOf(side: Int): (Array[Double], Long) = {
+          val cells = hist.filter(_.getInt(0) == side)
+          val h = new Array[Long](gridSize + 1)
+          cells.foreach(r =>
+            h(math.min(r.getInt(1), gridSize)) += r.getLong(2))
+          val n = cells.map(_.getLong(2)).sum
+          if (n == 0L) (Array.fill(gridSize)(Double.NaN), 0L)
+          else {
+            var run = 0L
+            ((0 until gridSize).map { i =>
+              run += h(i); run.toDouble / n
+            }.toArray, n)
+          }
+        }
+        val (x, n1) = cdfOf(0); val (y, n2) = cdfOf(1)
+        (x, n1, y, n2)
+      }
     if (nA == 0L || nB == 0L)
       return Seq((colName, Double.NaN, Double.NaN, nA, nB, false))
         .toDF("column", "ks", "psi", "n_baseline", "n_current", "pass")

@@ -74,7 +74,17 @@ object SpanDocs {
     if (!graft.functions.SpanCheck.matches(spanDt))
       // non-flagship span shapes: generic codegen verdict compiler
       Validate.fastFirstViolation(df, contract, thing)
-    else {
+    else graft.contracts.CompileCache.memo(
+      // pure function of (schema, thing): SpanCheck.check re-analyzes
+      // the generic slow-path tree per call — memoized like the
+      // rowFirstViolation compile (CompileCache scaladoc; the contract
+      // is the fixed [[contract]] val) and constant-folded once
+      // (foldedColumn below) so per-query Catalyst passes don't re-walk
+      // the docIdViol/rowRender message scaffolding
+      ("spanFastViol", org.apache.spark.sql.types.StructType(
+        df.schema.fields), thing)) {
+      graft.contracts.CompileCache.foldedColumn(df.sparkSession,
+        org.apache.spark.sql.types.StructType(df.schema.fields), {
       // frames must match what Validate's row-level compile would build
       // (the fast path's slow-path payloads are compared bit-for-bit)
       val rowRender = graft.contracts.Compiler.render(
@@ -96,6 +106,7 @@ object SpanDocs {
           .otherwise(graft.functions.SpanCheck.check(df, "spans",
             contract.fields("spans"), thing))
       coalesce(docIdViol, spansViol)
+      })
     }
   }
 

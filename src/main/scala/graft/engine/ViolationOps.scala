@@ -17,7 +17,16 @@ object ViolationOps {
     implicit val env: MsgEnv = MsgEnv(thing, contract)
     val rowType = org.apache.spark.sql.types.StructType(df.schema.fields)
     val rowCol = struct(df.columns.toSeq.map(col): _*)
-    val vs = Compiler.allViols(contract, rowType, rowCol, Frame.root)
+    // the collect-all expression is a pure function of
+    // (contract, schema, thing) — memoized AND constant-folded once
+    // (see graft.contracts.CompileCache.foldedColumn: per-query
+    // Catalyst passes then walk the KB-sized folded tree, not the
+    // MB-sized scaffolding)
+    val vs = graft.contracts.CompileCache.memo(
+      ("allViols", new graft.contracts.CompileCache.IdRef(contract),
+        rowType, thing))(
+      graft.contracts.CompileCache.foldedColumn(df.sparkSession, rowType,
+        Compiler.allViols(contract, rowType, rowCol, Frame.root)))
     df.withColumn("_vs", vs)
       .where(size(col("_vs")) > 0)
       .select(col(idCol).cast("string").as("doc_id"),

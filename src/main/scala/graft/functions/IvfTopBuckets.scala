@@ -165,6 +165,27 @@ class IvfScorer(cents: Array[Array[Double]], nProbe: Int,
   /** below this centroid count the per-row bound pass + block ordering
     * is pure overhead against a cheap flat scan. */
   private val blockMin = 256
+
+  /** largest |element| over all centroids — the round-6 overflow gate
+    * (advisor finding): a product of two FINITE values can overflow to
+    * ±∞ and make member scores NaN via ∞−∞, where NaN ties insert in
+    * visit order and the pruned path could diverge from the flat
+    * scan's canonical cid-order insertion. Rows where
+    * maxAbsQ · maxAbsCent could overflow any partial term fall back
+    * to the flat scan (which IS the canonical behavior). */
+  private val maxAbsCent: Double = {
+    var m = 0.0
+    var i = 0
+    while (i < nc) {
+      val c = cents(i)
+      var j = 0
+      while (j < c.length) {
+        val a = math.abs(c(j)); if (a > m) m = a; j += 1
+      }
+      i += 1
+    }
+    m
+  }
   /** one-time index-build budget (driver-side, flops ≈ 5·nc·kb·dim);
     * past it the scorer stays flat rather than stalling construction. */
   private val maxBuildFlops = 2e10
@@ -250,13 +271,25 @@ class IvfScorer(cents: Array[Array[Double]], nProbe: Int,
     case Some((mus, radii, members)) if nProbe > 0 =>
       val n = math.min(vec.numElements(), dim)
       var q2 = 0.0
+      var maxAbsQ = 0.0
       var i = 0
       while (i < n) {
-        if (!vec.isNullAt(i)) { val x = elem(vec, i); q2 += x * x }
+        if (!vec.isNullAt(i)) {
+          val x = elem(vec, i); q2 += x * x
+          val a = math.abs(x); if (a > maxAbsQ) maxAbsQ = a
+        }
         i += 1
       }
       val qn = math.sqrt(q2)
-      if (!java.lang.Double.isFinite(qn)) topBucketsFlat(vec)
+      // overflow gate (see maxAbsCent): with every |qᵢ·cⱼ| ≤
+      // maxAbsQ·maxAbsCent ≤ MaxValue/(4·(dim+1)), all partial sums,
+      // bounds (incl. qn·r_B ≤ 2·dim·maxAbsQ·maxAbsCent) and scores
+      // stay finite, so the pruned path's exactness proof holds; past
+      // it, fall back to the flat scan — the canonical behavior for
+      // pathological magnitudes
+      if (!java.lang.Double.isFinite(qn) ||
+          maxAbsQ > Double.MaxValue / (4.0 * (dim + 1)) / maxAbsCent)
+        topBucketsFlat(vec)
       else {
         val kb = mus.length
         val k = math.min(nProbe, nc)

@@ -42,8 +42,6 @@ case class SpanCheck(child: Expression, generic: Expression)
   override def dataType: DataType = Compiler.violType
   override def nullable: Boolean = true
 
-  @transient private lazy val mediaRe =
-    java.util.regex.Pattern.compile("media-[0-9]+")
   @transient private lazy val genericProj =
     new InterpretedProjection(Seq(generic))
   @transient private lazy val rowHolder = new GenericInternalRow(1)
@@ -78,8 +76,7 @@ case class SpanCheck(child: Expression, generic: Expression)
           else if (kind.equals(TEXT)) text != null && ref == null
           else if (kind.equals(IMAGE) || kind.equals(AUDIO) ||
             kind.equals(VIDEO))
-            text == null && ref != null &&
-              mediaRe.matcher(ref.toString).matches()
+            text == null && ref != null && SpanCheck.isMediaRef(ref)
           else false
         if (!sOk) ok = false
         else {
@@ -100,9 +97,6 @@ case class SpanCheck(child: Expression, generic: Expression)
     val image = ctx.addReferenceObj("utfImage", SpanCheck.IMAGE)
     val audio = ctx.addReferenceObj("utfAudio", SpanCheck.AUDIO)
     val video = ctx.addReferenceObj("utfVideo", SpanCheck.VIDEO)
-    val pattern = ctx.addMutableState(
-      "java.util.regex.Pattern", "spanCheckRe",
-      v => s"""$v = java.util.regex.Pattern.compile("media-[0-9]+");""")
     val nf = nFields
     nullSafeCodeGen(ctx, ev, arr => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
@@ -130,7 +124,7 @@ case class SpanCheck(child: Expression, generic: Expression)
          |      $kind.equals($audio) ||
          |      $kind.equals($video)) {
          |    $sOk = $txt == null && $ref != null &&
-         |      $pattern.matcher($ref.toString()).matches();
+         |      graft.functions.SpanCheck.isMediaRef($ref);
          |  } else { $sOk = false; }
          |  if (!$sOk) { $ok = false; break; }
          |  int $off = $s.getInt(3);
@@ -157,6 +151,28 @@ object SpanCheck {
   private[functions] val IMAGE = UTF8String.fromString("image")
   private[functions] val AUDIO = UTF8String.fromString("audio")
   private[functions] val VIDEO = UTF8String.fromString("video")
+
+  /** `^media-[0-9]+$` decided on the UTF8 BYTES — exactly the regex's
+    * verdict (the pattern is pure ASCII, and UTF-8 is bijective on
+    * ASCII: any non-ASCII byte fails both forms), without the
+    * per-span `toString` allocation + regex machinery the hot loop
+    * paid per media span (round-6 flagship micro-opt; the fast loop
+    * only decides pass/fail, so payloads are untouched). Public for
+    * generated code. */
+  def isMediaRef(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    if (n < 7) return false // "media-" + at least one digit
+    if (s.getByte(0) != 'm' || s.getByte(1) != 'e' ||
+        s.getByte(2) != 'd' || s.getByte(3) != 'i' ||
+        s.getByte(4) != 'a' || s.getByte(5) != '-') return false
+    var i = 6
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < '0' || b > '9') return false
+      i += 1
+    }
+    true
+  }
 
   /** the span-array struct shape this fast path is compiled for. */
   def matches(dt: DataType): Boolean = dt match {

@@ -64,7 +64,22 @@ class TopKNeighbors(k: Int) extends BoundedTopK[ScoredNeighbor](k) {
 object TopKNeighbors {
   /** `topk(k)(cosine, neighbor)` → `array<struct<cosine, neighbor>>`
     * column holding the k best candidates in rank order. Neighbor ids
-    * must be integral (the aggregator buffers them as Long). */
-  def topk(k: Int)(cosine: Column, neighbor: Column): Column =
+    * must be integral (buffered as Long).
+    *
+    * Since round 6 this routes to the native
+    * [[TopKNeighborsAgg]] (primitive buffer, no per-row encoder
+    * allocation — the ANN candidate streams are 10⁷-10⁸ rows at the
+    * replica scales); [[topkUdaf]] keeps the original Aggregator form
+    * as the audited semantics twin (native ≡ udaf ≡ window pinned in
+    * PipelineSpec/PropertySpec). */
+  def topk(k: Int)(cosine: Column, neighbor: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(TopKNeighborsAgg(expression(cosine.cast("double")),
+      expression(neighbor.cast("bigint")), k).toAggregateExpression())
+  }
+
+  /** the pre-round-6 `udaf(Aggregator)` form — retained as the
+    * structurally independent semantics twin of [[TopKNeighborsAgg]]. */
+  def topkUdaf(k: Int)(cosine: Column, neighbor: Column): Column =
     udaf(new TopKNeighbors(k)).apply(cosine, neighbor)
 }

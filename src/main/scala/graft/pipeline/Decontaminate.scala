@@ -24,9 +24,14 @@ object Decontaminate {
               idCol: String, textCol: String,
               evalIdCol: String, evalTextCol: String,
               n: Int = 8, minShared: Int = 1): DataFrame = {
-    val tg = Dedup.withNgrams(train, idCol, textCol, n)
+    // HASHED grams both sides (round 6): the broadcast set, the probe
+    // join key and the distinct counts all ride 8-byte gram hashes
+    // instead of ~50-byte 8-gram strings (guide §2.3). A cross-gram
+    // collision (2⁻⁶⁴) could only merge two counted grams; the oracle
+    // replays string grams and stays green at every SF.
+    val tg = Dedup.withHashedNgrams(train, idCol, textCol, n)
       .select(col("id"), explode(col("grams")).as("g"))
-    val eg = Dedup.withNgrams(evalDf, evalIdCol, evalTextCol, n)
+    val eg = Dedup.withHashedNgrams(evalDf, evalIdCol, evalTextCol, n)
       .select(col("id").as("eval_id"), explode(col("grams")).as("g"))
       .distinct()
     tg.join(broadcast(eg), "g")
@@ -79,27 +84,37 @@ object Decontaminate {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.util.sketch.BloomFilter
 
+    // HASHED grams both sides (round 6, see [[overlap]]): `g` is the
+    // gram's xxhash64 long — exactly the value the Bloom build/probe
+    // previously computed inline via xxhash64(gram string), so the
+    // filter's contents are unchanged; the cache, the sizing count,
+    // the verification join and the distinct counts all shrink from
+    // ~50-byte strings to 8-byte longs.
     val eg = GramCache.persistTracked(
-      Dedup.withNgrams(evalDf, evalIdCol, evalTextCol, n)
+      Dedup.withHashedNgrams(evalDf, evalIdCol, evalTextCol, n)
         .select(col("id").as("eval_id"), explode(col("grams")).as("g"))
         .distinct())
+    // sizing: the cached (eval_id, g) pair count is an upper bound on
+    // the distinct gram count — an over-sized filter only LOWERS the
+    // false-positive rate (output unchanged either way: the exact join
+    // removes false positives), and the bound skips the round-5
+    // distinct-by-g exchange the exact count paid just to size a
+    // filter (the count job doubles as the cache materialization).
     val expected =
       if (expectedGrams > 0) expectedGrams
-      else math.max(eg.select("g").distinct().count(), 1L)
+      else math.max(eg.count(), 1L)
     val numBits = math.max(BloomFilter.optimalNumOfBits(expected, fpp), 64L)
     val bfAgg = asCol(new BloomFilterAggregate(
-      asExpr(xxhash64(col("g"))), asExpr(lit(expected)),
+      asExpr(col("g")), asExpr(lit(expected)),
       asExpr(lit(numBits))).toAggregateExpression())
     // the filter is built over the cached (eval_id, g) rows DIRECTLY:
     // Bloom insertion is idempotent, so a distinct-by-g before the
     // build would pay a whole exchange to deduplicate inserts the
-    // filter dedupes for free (the sizing count above still dedupes —
-    // it runs once, eagerly, over the small side only, and never
-    // appears in the probe plan)
+    // filter dedupes for free
     val bf = eg.select("g").agg(bfAgg.as("bf")).scalar()
     val mightContain = asCol(BloomFilterMightContain(
-      asExpr(bf), asExpr(xxhash64(col("g")))))
-    val tg = Dedup.withNgrams(train, idCol, textCol, n)
+      asExpr(bf), asExpr(col("g"))))
+    val tg = Dedup.withHashedNgrams(train, idCol, textCol, n)
       .select(col("id"), explode(col("grams")).as("g"))
       .where(mightContain)
     tg.join(eg, "g") // unhinted: AQE broadcasts the tiny survivor side

@@ -53,6 +53,22 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.functions.NgramShingles.ngrams(col(textCol), n).as("grams"))
 
+  /** [[withNgrams]] with each gram hashed to its `xxhash64` long
+    * ([[graft.functions.XxhashArray]]) — the narrow projection the
+    * Jaccard/minhash paths persist and join on since round 6: a word
+    * 3-gram is ~20-40 bytes vs 8 for its hash, so every downstream
+    * exchange (inverted index, band candidates, verify joins) and
+    * every `array_intersect` shrinks accordingly. A cross-gram hash
+    * collision (2⁻⁶⁴) could only MERGE two grams — same accepted-risk
+    * class as the hash-once minhash draw below — and the exact-Jaccard
+    * outputs are oracle-checked against string-gram replays. */
+  def withHashedNgrams(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.XxhashArray.hashed(
+        graft.functions.NgramShingles.ngrams(col(textCol), n))
+        .as("grams"))
+
   /** exact n-gram Jaccard similarity join: all pairs with J >= threshold.
     *
     * PPJoin-style prefix filtering (Xiao et al., WWW'08 — public
@@ -74,7 +90,15 @@ object Dedup {
     // function cannot unpersist them itself — tracked in [[GramCache]];
     // run passes inside GramCache.withGramCache { … } (or call
     // GramCache.release() between passes) for mechanical cleanup.
-    val docs = GramCache.persistTracked(withNgrams(df, idCol, textCol, n))
+    // HASHED grams (round 6): the persisted projection, the inverted
+    // index, the prefix self-join and both verify intersects all work
+    // on 8-byte gram hashes instead of ~20-40-byte strings — the
+    // PPJoin prefix theorem holds under ANY consistent global gram
+    // order, so ordering by (df, gramHash) keeps candidate completeness
+    // and the exact verify keeps the output identical to the string
+    // form (oracle replays string grams; green at every SF).
+    val docs = GramCache.persistTracked(
+      withHashedNgrams(df, idCol, textCol, n))
     val sh = docs.select(col("id"), explode(col("grams")).as("g"))
     val gramDf = sh.groupBy("g").agg(count(lit(1)).as("df"))
     // per doc: grams sorted by (df, g), keep the prefix
@@ -111,9 +135,20 @@ object Dedup {
     * definition shared with the streaming path
     * ([[graft.streaming.StatefulDedup]]): the gram string is hashed
     * once and the seeded draws re-hash the 8-byte value, exactly as
-    * [[minhashLshPairs]]'s aggregate form — so batch and streaming
-    * signatures for the same document stay comparable, and both skip
-    * re-hashing the gram text numHashes times. */
+    * [[minhashLshPairs]]'s compiled form (PipelineSpec pins all
+    * three forms equal) — so batch and streaming signatures for the
+    * same document stay comparable, and both skip re-hashing the gram
+    * text numHashes times.
+    *
+    * SIGNATURE FORMAT v2 (round 5; advisor note): the draw changed
+    * from `xxhash64(gram, seed)` to `xxhash64(xxhash64(gram), seed)`
+    * in round 5 — signatures, band hashes, and any PERSISTED state
+    * derived from them (streaming stateful-dedup checkpoints, exported
+    * signature tables) are NOT comparable with pre-round-5 builds: an
+    * upgrade across that commit silently stops matching old near-dup
+    * state rather than failing. Version-tag persisted signature
+    * schemas (or drop checkpoints written by the v1 formula) when
+    * upgrading across it. */
   def minhashSignature(grams: Column, numHashes: Int): Column = {
     val hashed = transform(grams, g => xxhash64(g))
     transform(sequence(lit(0), lit(numHashes - 1)),
@@ -135,26 +170,45 @@ object Dedup {
     // persisted: the projection feeds the signature agg AND both verify
     // joins (see ngramJaccardPairs note — tracked in [[GramCache]],
     // bracket passes with GramCache.withGramCache for cleanup).
-    val docs = GramCache.persistTracked(withNgrams(df, idCol, textCol, n))
+    // HASHED grams (round 6): the persisted projection already holds
+    // each gram's xxhash64 — exactly the `gh` value the signature pass
+    // previously recomputed per gram row — so the explode emits 8-byte
+    // longs, the verify joins intersect long arrays, and signatures
+    // are bit-identical to the string-gram form.
+    val docs = GramCache.persistTracked(
+      withHashedNgrams(df, idCol, textCol, n))
     // minhashes via explode + aggregation, NOT array HOFs: HOF lambdas
     // are interpreted (CodegenFallback, per-element boxing) while
     // min(xxhash64(...)) aggregates are whole-stage-codegen'd. Spark's
     // map-side partial aggregation collapses each doc's grams to one
     // 64-column row BEFORE the shuffle, so the exchange carries one row
     // per doc regardless of document length. The gram STRING is hashed
-    // once (`gh`) and the 64 seeded draws re-hash the 8-byte long —
-    // hashing the ~20-40-byte gram text per seed paid numHashes× the
-    // string's length in the signature pass, the query's dominant
-    // compute. Two distinct grams colliding in gh (2⁻⁶⁴) can only
-    // MERGE draws — never splits a true candidate pair, and the exact
-    // Jaccard verify keeps precision exact regardless.
-    val gramRows = docs.select(col("id"), explode(col("grams")).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
-    val minAggs = (0 until numHashes).map(s =>
-      min(xxhash64(col("gh"), lit(s))).as(s"m$s"))
-    val sigs = gramRows.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    // once (`gh`, now precomputed in the persisted projection) and the
+    // 64 seeded draws re-hash the 8-byte long — hashing the
+    // ~20-40-byte gram text per seed paid numHashes× the string's
+    // length in the signature pass, the query's dominant compute. Two
+    // distinct grams colliding in gh (2⁻⁶⁴) can only MERGE draws —
+    // never splits a true candidate pair, and the exact Jaccard verify
+    // keeps precision exact regardless.
+    // signatures ROW-LOCALLY via [[graft.functions.MinhashSig]]
+    // (round 6): every gram of a document lives in its one persisted
+    // row, so the 64 minima need no explode, no 64-column hash-agg,
+    // and no exchange — and the shared hashLong(gh, 42) inner hash is
+    // computed once per gram instead of once per (gram, seed), halving
+    // the query's dominant hash work. Bit-identity with the aggregate
+    // form is pinned in PipelineSpec. The sig frame is persisted
+    // (GramCache) because the band self-join consumes it as BOTH sides
+    // — the aggregate form's exchange was reused by ReuseExchange, and
+    // without one the signature pass would run twice. The empty-gram
+    // filter replicates the explode form's implicit drop; it sits
+    // above the persisted projection, so nothing is recomputed.
+    val sigs = GramCache.persistTracked(
+      docs.where(size(col("grams")) > 0)
+        .select(col("id"),
+          graft.functions.MinhashSig.sig(col("grams"), numHashes)
+            .as("sig")))
     val bandCols = (0 until bands).map { b =>
-      val h = (0 until r).map(j => col(s"m${b * r + j}"))
+      val h = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
         .foldLeft(lit(0L))((acc, m) => xxhash64(acc, m))
       struct(lit(b).as("band"), h.as("bh"))
     }
@@ -297,10 +351,25 @@ object Dedup {
     * Input: two id columns (any orderable type). Output: (id, component)
     * for every id appearing in a pair, component = least id reachable —
     * the canonical representative. */
+  /** Above this edge count the alternating-star rounds run; at or
+    * below it the (already materialized, counted) edge set is solved
+    * driver-side by union-find — same output, none of the per-round
+    * job/shuffle overhead. Rationale: every round is ~4 shuffles plus
+    * a checkpoint job and a convergence probe, which on a small edge
+    * list is pure fixed cost (measured ~1.1 s of the 1.2 s
+    * dedup_components query at sf0.1); the size gate is the same
+    * adaptive-threshold idea as a broadcast join — the driver holds at
+    * most `localCcMaxEdges` edges (~tens of MB), and anything larger
+    * takes the unchanged O(log n)-round scale path. Forced-path parity
+    * is pinned in SamplingCcSpec. */
+  private[graft] val localCcMaxEdges = 2000000L
+
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 30,
-                          verbose: Boolean = false): DataFrame = {
+                          verbose: Boolean = false,
+                          localMaxEdges: Long = localCcMaxEdges)
+      : DataFrame = {
     val base = pairs
       .select(col(idA).as("u"), col(idB).as("v"))
       .where(col("u") =!= col("v"))
@@ -337,6 +406,14 @@ object Dedup {
     }
     var e = base.distinct().localCheckpoint(true)
     var prev = sig(e)
+    // driver fast path: the convergence fingerprint already counted the
+    // edges, so a small set (id types with a Spark-order-replicable
+    // driver ordering) short-circuits to union-find — identical output
+    val localOrd = localCcOrdering(e.schema("u").dataType)
+    if (prev._1 <= localMaxEdges &&
+        e.schema("u").dataType == e.schema("v").dataType &&
+        localOrd.isDefined)
+      return localComponents(e, localOrd.get)
     var i = 0
     var done = prev._1 == 0L
     while (!done && i < maxIter) {
@@ -353,6 +430,81 @@ object Dedup {
       .select(col("id"), col("id").as("component"))
     e.select(col("u").as("id"), col("v").as("component"))
       .union(roots).distinct()
+  }
+
+  /** driver ordering replicating Spark's `min` for the id types the
+    * fast path supports (integral natural order; strings in UTF8
+    * BINARY order — [[graft.functions.Utf8Order]], NOT
+    * String.compareTo, which diverges on supplementary characters).
+    * None ⇒ unsupported type ⇒ distributed path. */
+  private def localCcOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((a: Any) => a.asInstanceOf[Short]))
+      case ByteType => Some(Ordering.by((a: Any) => a.asInstanceOf[Byte]))
+      case StringType => Some(new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          graft.functions.Utf8Order.cmpStrings(
+            a.asInstanceOf[String], b.asInstanceOf[String])
+      })
+      case _ => None
+    }
+  }
+
+  /** exact connected components of a SMALL materialized edge set by
+    * driver union-find (path-halving + union by index): output rows
+    * (id, component = least reachable id under `ord`) — precisely the
+    * distributed fixpoint's result set. Bounded by [[localCcMaxEdges]]
+    * rows collected. */
+  private def localComponents(edges: DataFrame, ord: Ordering[Any])
+      : DataFrame = {
+    val dt = edges.schema("u").dataType
+    val rows = edges.collect()
+    val index = new java.util.HashMap[Any, Integer]()
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def idx(a: Any): Int = {
+      val got = index.get(a)
+      if (got != null) got.intValue()
+      else {
+        val i = vals.length
+        index.put(a, Integer.valueOf(i)); vals += a; i
+      }
+    }
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val a = idx(r.get(0)); val b = idx(r.get(1))
+      while (parent.length < vals.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    // least member per root, then one row per id
+    val minOf = new java.util.HashMap[Integer, Any]()
+    vals.indices.foreach { i =>
+      val r = Integer.valueOf(find(i))
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(vals(i), cur)) minOf.put(r, vals(i))
+    }
+    val out = vals.indices.map { i =>
+      org.apache.spark.sql.Row(vals(i), minOf.get(Integer.valueOf(find(i))))
+    }
+    val spark = edges.sparkSession
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt),
+        org.apache.spark.sql.types.StructField("component", dt))))
   }
 
   /** One-doc-per-component keep list — the selection step after

@@ -27,20 +27,47 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** exact cosine top-k per vector (brute force; audit/baseline path).
-    * Deterministic total order: score desc, then neighbor id asc. */
+    * Deterministic total order: score desc, then neighbor id asc.
+    *
+    * The PAIR GENERATION stays the exact O(n²) join (that is the
+    * audit's point); the RANKING runs as the bounded
+    * [[graft.functions.TopKNeighbors]] aggregate — the n² candidate
+    * rows were the query's largest exchange (the rank window shuffled
+    * and sorted every pair; the aggregate's exchange carries ≤ k rows
+    * per (id, map task)). Order parity with the window form —
+    * (cosine desc nulls-last, neighbor asc), NaN-greatest, signed zero
+    * collapsed — is the aggregate's audited contract, and
+    * [[cosineTopKWindow]] keeps the window form as the structurally
+    * independent ranking twin (PipelineSpec pins row-identity; the
+    * DuckDB oracle replays `row_number()` independently either way). */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
-                 k: Int = 3): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"))
-    val pairs = v.as("a").join(v.as("b"), col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id"), col("b.id").as("neighbor"),
-        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
-          .as("cosine"))
+                 k: Int = 3): DataFrame =
+    rankTopK(cosineAllPairs(df, idCol, vecCol), k)
+
+  /** the pre-round-6 window form of [[cosineTopK]] — retained as the
+    * structurally independent audit twin of the bounded-aggregate
+    * ranking (window ≡ aggregate pinned in PipelineSpec). */
+  private[graft] def cosineTopKWindow(df: DataFrame, idCol: String,
+                                      vecCol: String,
+                                      k: Int = 3): DataFrame = {
+    val pairs = cosineAllPairs(df, idCol, vecCol)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("cosine").desc, col("neighbor").asc)
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("id", "rank", "neighbor", "cosine")
+  }
+
+  /** all (id, neighbor, cosine) pairs, id ≠ neighbor — the shared exact
+    * candidate generator of both [[cosineTopK]] forms. */
+  private def cosineAllPairs(df: DataFrame, idCol: String,
+                             vecCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    v.as("a").join(v.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
   }
 
   /** embedding-cosine near-duplicate pairs: all (a < b) pairs with
@@ -409,6 +436,16 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = sample.count()
+      // loud guard (round-6 advisor finding): sampleFrame's
+      // deterministic-rank plumbing requires UNIQUE ids — duplicate
+      // ids tie at the threshold and over-admit past sampleN, which
+      // silently breaks the trainer's determinism guarantee. The
+      // admitted count exceeding sampleN is the cheap detectable
+      // symptom; fail fast instead of training on it.
+      require(n <= sampleN,
+        s"distributed k-means sample admitted $n rows > sampleN=" +
+          s"$sampleN: duplicate ids at the threshold — the id column " +
+          "must be unique for deterministic training")
       if (n == 0) return Array.empty
       val kk = math.min(k.toLong, n).toInt
       if (kk < k && n == sampleN)

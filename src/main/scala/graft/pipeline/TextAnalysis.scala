@@ -185,9 +185,17 @@ object TextAnalysis {
     * the operator itself stays a single lazy plan. */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int, nDocs: Long): DataFrame = {
+    // per-document term frequencies are ROW-LOCAL (every token of a
+    // document lives in its one input row), so the TF table comes from
+    // one compiled pass ([[graft.functions.TermCounts]]) instead of
+    // exploding the whole postings stream and re-grouping it by
+    // (doc, term) — that group-by's exchange was the query's largest
+    // (the full token stream) and is gone since round 6 (guide §2.4);
+    // tf values are bit-identical by the expression's split contract
     val tf = df.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+        explode(graft.functions.TermCounts.termCounts(col(textCol)))
+          .as("tc"))
+      .select(col("id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).as("df")) // tf rows are distinct (id, term)
     val scored = tf.join(dfreq, "term")

@@ -90,12 +90,14 @@ class DecontamFilterSpec extends SparkTestBase {
       s"tok${i % 7} a b c d e f tok${i % 5} g h i j")).toDF("doc_id", "text")
     val ev = Seq((100L, "a b c d e f g h i j")).toDF("eval_id", "eval_text")
     GramCache.withGramCache {
-      // three tracked persist sites in one pass
+      // four tracked persist sites in one pass (minhash persists its
+      // gram projection AND, since round 6, its row-local signature
+      // frame — the band self-join consumes the latter as both sides)
       Dedup.minhashLshPairs(train, "doc_id", "text", n = 3).count()
       Dedup.duplicateSpanCoverage(train, "doc_id", "text", k = 4).count()
       Decontaminate.overlapBloom(train, ev, "doc_id", "text",
         "eval_id", "eval_text", n = 8).count()
-      assert(GramCache.activeCount == base + 3)
+      assert(GramCache.activeCount == base + 4)
     }
     assert(GramCache.activeCount == base)
     // stray (unbracketed) pass → release() reclaims it

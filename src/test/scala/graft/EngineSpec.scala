@@ -89,6 +89,46 @@ class EngineSpec extends SparkTestBase {
     assert(r2.ks > 0.1 && r2.psi > 0.2, s"drift not detected $r2")
   }
 
+  test("checkExact bucket-histogram CDF ≡ conditional-sum CDF " +
+       "(boundary values, NaN, single-value side)") {
+    import spark.implicits._
+    // round 6 replaced the two ~100-conditional-sum aggregations with
+    // one GridBucket histogram + driver suffix sum; this pin recomputes
+    // the pre-round-6 conditional sums inline and asserts the verdict
+    // row matches bit-for-bit on adversarial inputs: values exactly ON
+    // grid points, NaN (counts in n, in no bucket), and ties
+    val a = Seq(0.0, 1.0, 2.0, 2.0, 5.0, 4.75).toDF("value")
+    val b = Seq(0.5, 1.0, 5.0, 5.0).toDF("value")
+    val got = Drift.checkExact(a, b, "value", gridSize = 11)(spark)
+      .head()
+    // reference: conditional sums over the same min/max grid
+    val va = Seq(0.0, 1.0, 2.0, 2.0, 5.0, 4.75)
+    val vb = Seq(0.5, 1.0, 5.0, 5.0)
+    val (lo, hi) = (0.0, 5.0)
+    val grid = (0 until 11).map(i => lo + (hi - lo) * i / 10).toArray
+    def cdf(vs: Seq[Double]): Array[Double] =
+      grid.map(g => vs.count(_ <= g).toDouble / vs.size)
+    val ca = cdf(va); val cb = cdf(vb)
+    val ks = ca.zip(cb).map { case (x, y) => math.abs(x - y) }.max
+    assert(got.getAs[Double]("ks") == ks,
+      s"ks diverged: got ${got.getAs[Double]("ks")}, want $ks")
+    assert(got.getAs[Long]("n_baseline") == 6L &&
+      got.getAs[Long]("n_current") == 4L)
+    // a NaN value makes Spark's max — hence the whole grid — NaN; the
+    // conditional sums then count nothing on either side (v <= NaN is
+    // false) and ks is 0. The bucket path must take the monotone-grid
+    // fallback and reproduce exactly that (pre-round-6) verdict.
+    val an = Seq(0.0, 1.0, Double.NaN).toDF("value")
+    val rn = Drift.checkExact(an, b, "value", gridSize = 11)(spark).head()
+    assert(rn.getAs[Double]("ks") == 0.0,
+      s"NaN-grid fallback diverged: ${rn.getAs[Double]("ks")}")
+    // single-distinct-value sides (degenerate lo == hi grid) still agree
+    val c = Seq(3.0, 3.0).toDF("value")
+    val d = Seq(3.0).toDF("value")
+    val r2 = Drift.checkExact(c, d, "value", gridSize = 5)(spark).head()
+    assert(r2.getAs[Double]("ks") == 0.0 && r2.getAs[Boolean]("pass"))
+  }
+
   test("t-digest backend: quantile fidelity, drift verdicts agree with " +
        "KLL, distributed merge equals one-scan digest") {
     import spark.implicits._

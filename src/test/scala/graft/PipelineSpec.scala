@@ -487,6 +487,63 @@ class PipelineSpec extends SparkTestBase {
       // on raw doubles has NaN != NaN) while -0.0 still differs from 0.0
       assert(viaAgg.map(_.toString) == viaWindow.map(_.toString),
         s"k=$k diverged:\nagg   =$viaAgg\nwindow=$viaWindow")
+      // round 6: topk routes to the native TypedImperativeAggregate —
+      // pin it against the retained udaf(Aggregator) twin on the same
+      // adversarial frame
+      val viaUdaf = cand.groupBy("id")
+        .agg(graft.functions.TopKNeighbors.topkUdaf(k)(
+          col("cosine"), col("neighbor")).as("top"))
+        .select(col("id"), posexplode(col("top")))
+        .select(col("id"), (col("pos") + 1).as("rank"),
+          col("col.neighbor").as("neighbor"), col("col.cosine").as("cosine"))
+        .orderBy("id", "rank").collect().toSeq
+      assert(viaAgg.map(_.toString) == viaUdaf.map(_.toString),
+        s"k=$k native agg diverged from udaf twin")
+    }
+  }
+
+  test("MinhashSig expression ≡ explode+min aggregate ≡ streaming HOF " +
+       "signature (same docs, every seed)") {
+    // round 6 moved the batch signature pass to the row-local compiled
+    // expression; all three definitional forms must agree per document
+    val nh = 16
+    val hashed = Dedup.withHashedNgrams(docs, "doc_id", "text", 3)
+    val viaExpr = hashed.where(size(col("grams")) > 0)
+      .select(col("id"),
+        graft.functions.MinhashSig.sig(col("grams"), nh).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val minAggs = (0 until nh).map(s =>
+      min(xxhash64(col("gh"), lit(s))).as(s"m$s"))
+    val viaAgg = hashed
+      .select(col("id"), explode(col("grams")).as("gh"))
+      .groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to nh).map(r.getLong(_)).toSeq).toMap
+    assert(viaExpr == viaAgg, "expression diverged from aggregate form")
+    // the streaming path's HOF form hashes string grams itself
+    val viaHof = Dedup.withNgrams(docs, "doc_id", "text", 3)
+      .where(size(col("grams")) > 0)
+      .select(col("id"),
+        Dedup.minhashSignature(col("grams"), nh).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == viaHof, "expression diverged from HOF signature")
+  }
+
+  test("cosineTopK bounded-aggregate ranking ≡ retained window twin " +
+       "(row-identical on the real embedding table)") {
+    // round 6 moved the brute-force audit path's RANKING from the rank
+    // window to TopKNeighbors (the n² candidate set was the query's
+    // largest exchange); the window form stays as cosineTopKWindow and
+    // this pin asserts row-identity on real data, on top of the
+    // adversarial-ordering aggregate≡window pins above
+    for (k <- Seq(1, 3)) {
+      val viaAgg = Similarity.cosineTopK(emb, "vec_id", "embedding", k)
+        .orderBy("id", "rank").collect().toSeq
+      val viaWin = Similarity.cosineTopKWindow(emb, "vec_id",
+          "embedding", k)
+        .orderBy("id", "rank").collect().toSeq
+      assert(viaAgg.map(_.toString) == viaWin.map(_.toString),
+        s"k=$k: bounded-aggregate cosineTopK diverged from window twin")
     }
   }
 

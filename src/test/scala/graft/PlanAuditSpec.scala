@@ -102,6 +102,7 @@ class PlanAuditSpec extends SparkTestBase {
     * at scale — a Window node reappearing here is a de-skew
     * regression even if results stay correct. */
   private val windowFree: Set[String] = Set(
+    "ann_cosine_topk", // round 6: brute pairs stay, ranking is bounded
     "ann_ivf_topk", "ann_lsh_topk", "sample_group_topk",
     "sample_violations", "text_tfidf")
 

@@ -75,6 +75,38 @@ class SamplingCcSpec extends SparkTestBase {
     assert(m.keySet == Set(1L, 20L, 30L, 40L, 50L))
   }
 
+  test("connected components: distributed star rounds ≡ driver " +
+       "union-find fast path (forced both ways, every shape)") {
+    // round 6 added a size-gated driver fast path; the DISTRIBUTED
+    // rounds must stay correct for the >localCcMaxEdges regime, so
+    // force them (localMaxEdges = -1) and pin row-identity against the
+    // default (fast) path on every structural shape above
+    val rnd = new scala.util.Random(7)
+    val shapes = Seq(
+      (1L until 60L).map(i => (i, i + 1)),                  // chain
+      (101L to 110L).map(i => (100L, i)),                   // star
+      (for { a <- 200L to 205L; b <- 200L to 205L if a < b }
+        yield (a, b)).toSeq,                                // clique
+      Seq.fill(150)((rnd.nextInt(60).toLong,
+        rnd.nextInt(60).toLong)).filter(e => e._1 != e._2)) // random
+    shapes.zipWithIndex.foreach { case (edges, i) =>
+      val df = edges.toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(df)
+        .orderBy("id").collect().toSeq
+      val dist = Dedup.connectedComponents(df, localMaxEdges = -1L)
+        .orderBy("id").collect().toSeq
+      assert(fast == dist, s"shape $i: fast path diverged from rounds")
+    }
+    // string ids take the fast path through UTF8-binary ordering
+    val sEdges = Seq(("b", "a"), ("c", "b"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val sFast = Dedup.connectedComponents(sEdges)
+      .orderBy("id").collect().toSeq
+    val sDist = Dedup.connectedComponents(sEdges, localMaxEdges = -1L)
+      .orderBy("id").collect().toSeq
+    assert(sFast == sDist, "string ids diverged")
+  }
+
   test("canonicalPerComponent: best score wins, least-id tie-break") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)

@@ -189,6 +189,34 @@ class TrainingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("TermCounts expression ≡ explode+groupBy term frequencies " +
+       "(empty tokens, repeats, leading/trailing spaces, null)") {
+    import spark.implicits._
+    // split(text, ' ') keeps empty tokens (limit -1) — the compiled
+    // expression must reproduce them; the real-corpus pin is the
+    // aggregate≡window test above, which rebuilds TF the old way
+    val rows = Seq(
+      (1L, "a b a  b c"), // double space -> empty token
+      (2L, " x"), (3L, "x "), (4L, ""), (5L, "t t t t"))
+      .toDF("doc_id", "text")
+    val viaExpr = rows.select(col("doc_id").as("id"),
+        explode(graft.functions.TermCounts.termCounts(col("text")))
+          .as("tc"))
+      .select(col("id"), col("tc.term"), col("tc.tf"))
+      .orderBy("id", "term").collect().toSeq
+    val viaGroup = rows.select(col("doc_id").as("id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .orderBy("id", "term").collect().toSeq
+    assert(viaExpr == viaGroup)
+    // null text yields null (explode drops it, like the split form)
+    val withNull = Seq((9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(withNull.select(explode(
+        graft.functions.TermCounts.termCounts(col("text"))))
+      .count() == 0L)
+  }
+
   // ---- URL normalization ----
 
   test("url normalization: case, default ports, utm runs, fragment, " +
