@@ -27,8 +27,14 @@ object BenchExtra {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      "/root/testdata/sf0.1")
+    // GRAFT_BENCHX_DIRS: comma-separated data dirs swept SEQUENTIALLY
+    // in ONE session (the frozen bench's 1× → 10× → 30× shape — later
+    // sweeps run with the earlier sweeps' JIT warm-up, which is the
+    // regime the driver measures); falls back to SPARK_GRAFT_SF_DIR.
+    val dirs = sys.env.get("GRAFT_BENCHX_DIRS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("GRAFT_BENCHX_REPS", "3").toInt
     val noop = sys.env.get("GRAFT_BENCHX_NOOP").contains("1")
@@ -36,6 +42,8 @@ object BenchExtra {
     val suffix = sys.env.getOrElse("GRAFT_BENCHX_SUFFIX", "before")
     val wanted = sys.env.get("GRAFT_BENCHX_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // quadratic audit twins excluded above 1× (like the frozen bench)
+    val replicaExcluded = Set("ann_cosine_topk", "dedup_embedding_cosine")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,13 +55,23 @@ object BenchExtra {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    plansDir.foreach { d => new java.io.File(d).mkdirs() }
+    dirs.foreach(dir => sweep(spark, dir, cpus, reps, noop,
+      if (dir == dirs.head) plansDir else None, suffix,
+      wanted, if (dir == dirs.head) Set.empty else replicaExcluded))
+    spark.stop()
+  }
+
+  private def sweep(spark: SparkSession, sfDir: String, cpus: Int,
+                    reps: Int, noop: Boolean, plansDir: Option[String],
+                    suffix: String, wanted: Option[Set[String]],
+                    excluded: Set[String]): Unit = {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val stageSec = time(SparkEntry.stageAll(spark, sfDir))
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => wanted.forall(_.contains(n)) }
-
-    plansDir.foreach { d => new java.io.File(d).mkdirs() }
+      .filter { case (n, _) =>
+        wanted.forall(_.contains(n)) && !excluded(n) }
 
     val results = qs.map { case (name, fn) =>
       spark.sparkContext.setJobDescription(s"benchx: $name")
@@ -90,6 +108,5 @@ object BenchExtra {
     println(s"""{"benchx":true,"sf":"$sfDir","stage_sec":${f"$stageSec%.1f"},""" +
       s""""action":"${if (noop) "noop" else "count"}","reps":$reps,""" +
       s""""queries_total_sec":${f"$total%.3f"},"queries":$json}""")
-    spark.stop()
   }
 }

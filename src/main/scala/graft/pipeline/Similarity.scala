@@ -522,6 +522,7 @@ object Similarity {
   def ivfTopKWithCentroids(df: DataFrame, idCol: String, vecCol: String,
                            cents: Array[Array[Double]], k: Int,
                            nProbe: Int): DataFrame = {
+    val n = df.count()
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     // top-nProbe (score, centroid) per row, (s desc, c desc) — computed
@@ -543,9 +544,13 @@ object Similarity {
     // neighbor can meet a given query through at most one join key.
     // A dropDuplicates here would shuffle the whole candidate set —
     // the query's largest intermediate — for nothing.
+    // broadcast gate (see [[hintVecSide]]): the indexed side is the
+    // SMALLER one by construction (n rows vs n·nProbe probes) — left
+    // to estimates the planner has broadcast the probes side instead
     val cand = probes.as("q").join(
-        indexed.select(col("id").as("neighbor"), col("vec").as("vb"),
-          col("nrm").as("nb"), col("bucket")).as("x"), Seq("bucket"))
+        hintVecSide(indexed.select(col("id").as("neighbor"),
+          col("vec").as("vb"), col("nrm").as("nb"), col("bucket")), n)
+          .as("x"), Seq("bucket"))
       .where(col("id") =!= col("neighbor"))
       .select(col("id"), col("neighbor"),
         (dot(col("vec"), col("vb")) / (col("nrm") * col("nb")))
@@ -565,8 +570,12 @@ object Similarity {
     * rankings stay structurally independent checks of each other. */
   private def rankTopK(cand: DataFrame, k: Int): DataFrame =
     cand.groupBy("id")
-      .agg(graft.functions.TopKNeighbors.topk(k)(
-        col("cosine"), col("neighbor")).as("top"))
+      .agg((if (sys.env.get("GRAFT_TOPK_UDAF").contains("1"))
+          // A/B escape hatch: the pre-round-6 udaf(Aggregator) form
+          graft.functions.TopKNeighbors.topkUdaf(k)(
+            col("cosine"), col("neighbor"))
+        else graft.functions.TopKNeighbors.topk(k)(
+          col("cosine"), col("neighbor"))).as("top"))
       .select(col("id"), posexplode(col("top")))
       .select(col("id"), (col("pos") + 1).as("rank"),
         col("col.neighbor").as("neighbor"), col("col.cosine").as("cosine"))
@@ -662,11 +671,31 @@ object Similarity {
     lshTopKFromBuckets(df, idCol, vecCol, bucketed, k)
   }
 
+  /** Broadcast gate for the vector-attach joins of the bucketed
+    * candidate paths (round 6, guide §3.1): the vector side has
+    * exactly n rows while the candidate stream multiplies by bucket
+    * occupancy — a shuffled join ships every candidate row's attached
+    * vector through the SECOND join's exchange (measured 609 MB at the
+    * 30× replica for ann_lsh, with two sort-merge sorts of the wide
+    * stream), where a broadcast of the n-row side ships it once per
+    * executor. Catalyst's 10 MB estimate threshold stops broadcasting
+    * near ~40k vectors, far below what a 48 GB local driver (or any
+    * production executor) holds comfortably. Gated on the actual row
+    * count (a parquet-metadata-cheap job), parameterised for
+    * production: above the cap the joins stay shuffled — the correct
+    * 10⁹-vector shape. ~1M rows ≈ 300 MB broadcast at dim=64 floats. */
+  private val broadcastVecMaxRows: Long =
+    sys.env.getOrElse("GRAFT_BROADCAST_VEC_MAX_ROWS", "1000000").toLong
+
+  private def hintVecSide(v: DataFrame, nRows: Long): DataFrame =
+    if (nRows <= broadcastVecMaxRows) broadcast(v) else v
+
   /** [[lshTopK]] from pre-staged bucket assignments (id, t, b). */
   def lshTopKFromBuckets(df: DataFrame, idCol: String, vecCol: String,
                          bucketed: DataFrame, k: Int): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"))
+    val n = df.count()
+    val v = hintVecSide(df.select(col(idCol).as("id"),
+      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm")), n)
     // candidate pairs are deduped NARROW (ids only) before vectors are
     // re-attached — carrying vectors through the nTables-way bucket join
     // and deduping wide rows shuffles dim×nTables more bytes
@@ -706,8 +735,9 @@ object Similarity {
   def cosinePairsLshFromBuckets(df: DataFrame, idCol: String,
                                 vecCol: String, bucketed: DataFrame,
                                 threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"))
+    val n = df.count()
+    val v = hintVecSide(df.select(col(idCol).as("id"),
+      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm")), n)
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.id") < col("y.id"))

@@ -33,15 +33,32 @@ object StageProbe {
         println(f"[stage] $tag id=${i.stageId} tasks=${i.numTasks} " +
           f"wall=$wall%.3f cpu=${m.executorCpuTime / 1e9}%.2f " +
           f"run=${m.executorRunTime / 1e3}%.2f " +
+          f"gc=${m.jvmGCTime / 1e3}%.2f " +
           f"deser=${m.executorDeserializeTime / 1e3}%.2f " +
           f"shRead=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.1fMB " +
           f"shWrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.1fMB " +
           s":: ${i.name.takeWhile(_ != '\n').take(60)}")
       }
     })
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = {
+          val p = qe.executedPlan.toString
+          def c(s: String) = s.r.findAllIn(p).length
+          println(s"[plan] $fn smj=${c("SortMergeJoin")} " +
+            s"bhj=${c("BroadcastHashJoin")} shj=${c("ShuffledHashJoin")} " +
+            s"bnlj=${c("BroadcastNestedLoopJoin")} " +
+            s"sort=${c("\\bSort\\b")} codegenIds=${c("\\*\\(")}")
+        }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
     graft.SparkEntry.stageAll(spark, sfDir)
     names.foreach { n =>
-      (1 to 2).foreach { rep =>
+      (1 to 4).foreach { rep =>
         tag = s"$n#$rep"
         val t0 = System.nanoTime()
         graft.pipeline.GramCache.withGramCache {
