@@ -234,8 +234,15 @@ object TextAnalysis {
     * one task sorts megabytes, not the 10⁷-term vocabulary). */
   def buildVocab(df: DataFrame, textCol: String,
                  minCount: Long = 1L): DataFrame = {
-    val tc = df.select(explode(split(col(textCol), " ")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // corpus term counts from the row-local [[TermCounts]] pass
+    // (round 6): Σ tf per term ≡ count of exploded tokens, but the
+    // partial aggregation sees one row per (doc, DISTINCT term)
+    // instead of one per token — fewer agg updates and fewer exchanged
+    // partials for the same exact longs
+    val tc = df.select(explode(
+        graft.functions.TermCounts.termCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.term").as("term"))
+      .agg(sum(col("tc.tf")).as("cnt"))
       .where(col("cnt") >= minCount)
     // (1) per-count cohort sizes → running offset of each cohort
     val hw = Window.orderBy(col("cnt").desc)
