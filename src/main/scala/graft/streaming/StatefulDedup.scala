@@ -186,23 +186,30 @@ object StatefulDedup {
       : DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    import graft.pipeline.Dedup
     val tsCols0 = tsCol.toSeq.map(c => col(c).cast("timestamp").as("ts"))
-    val toks = stream.select(Seq(col(idCol).cast("string").as("id"),
-      split(col(textCol), " ").as("toks")) ++ tsCols0: _*)
     val tsCols = tsCol.toSeq.map(_ => col("ts"))
-    val grams = toks.select(Seq(col("id"),
-      Dedup.tokenNgramsFromTokens(col("toks"), n).as("grams")) ++
-      tsCols: _*)
+    // COMPILED shingle + signature pipeline (round 6): NgramShingles →
+    // per-gram xxhash64 (XxhashArray) → row-local MinhashSig — the
+    // exact value chain of the batch path, replacing the interpreted
+    // HOF forms (tokenNgramsFromTokens is ~40× the compiled walk at
+    // n=8; minhashSignature re-hashes per seed). Signature values are
+    // IDENTICAL (PipelineSpec pins expression ≡ aggregate ≡ HOF from
+    // the same grams; NgramSpec pins the shinglers array-equal), so
+    // streaming stays comparable with batch and with v2-format
+    // persisted state.
+    val grams = stream.select(Seq(col(idCol).cast("string").as("id"),
+      graft.functions.XxhashArray.hashed(
+        graft.functions.NgramShingles.ngrams(col(textCol), n))
+        .as("grams")) ++ tsCols0: _*)
       // docs shorter than n tokens have NO shingles: their minhash
-      // would be all-null (array_min over empty) and every such doc
-      // would collide into one degenerate bucket — they are exact-dup
-      // territory ([[duplicates]]), not near-dup, so drop them here
-      // (the batch path gets this for free from its explode)
+      // would be degenerate and every such doc would collide into one
+      // bucket — they are exact-dup territory ([[duplicates]]), not
+      // near-dup, so drop them here (the batch path gets this for
+      // free from its empty-gram filter)
       .where(size(col("grams")) > 0)
     val sigs = grams.select(Seq(col("id"),
-      Dedup.minhashSignature(col("grams"), numHashes).as("sig")) ++
-      tsCols: _*)
+      graft.functions.MinhashSig.sig(col("grams"), numHashes)
+        .as("sig")) ++ tsCols: _*)
     val bandCols = (0 until bands).map { b =>
       val h = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
         .foldLeft(lit(0L))((acc, m) => xxhash64(acc, m))
