@@ -56,9 +56,17 @@ object BenchExtra {
     spark.sparkContext.setLogLevel("ERROR")
 
     plansDir.foreach { d => new java.io.File(d).mkdirs() }
+    // exclusion keys off the DIR (replica dirs are named <base>_xN),
+    // not the position in the list — a single-replica run must still
+    // skip the O(n²) audit twins (explicitly listing them in
+    // GRAFT_BENCHX_QUERIES overrides)
+    def isReplica(dir: String): Boolean =
+      new java.io.File(dir).getName.matches(".*_x[0-9]+$")
     dirs.foreach(dir => sweep(spark, dir, cpus, reps, noop,
       if (dir == dirs.head) plansDir else None, suffix,
-      wanted, if (dir == dirs.head) Set.empty else replicaExcluded))
+      wanted,
+      if (isReplica(dir) && wanted.isEmpty) replicaExcluded
+      else Set.empty))
     spark.stop()
   }
 

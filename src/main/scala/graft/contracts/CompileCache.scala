@@ -23,7 +23,7 @@ package graft.contracts
   * Bounded: the key space is the set of distinct (contract, schema)
   * pairs a process validates — a handful in any real run — but a
   * caller minting fresh contract objects per call would grow it, so
-  * the map clears past [[MaxEntries]] (recompile-on-miss is always
+  * the map LRU-evicts past [[MaxEntries]] (recompile-on-miss is always
   * correct).
   */
 object CompileCache {
@@ -39,14 +39,30 @@ object CompileCache {
   }
 
   private val MaxEntries = 256
-  private val m = new java.util.concurrent.ConcurrentHashMap[Any, AnyRef]()
+  // access-ordered LRU behind a synchronized wrapper: a caller minting
+  // fresh contract objects per call (identity keys that never repeat)
+  // evicts only the LEAST-RECENTLY-USED entries instead of wiping the
+  // hot flagship artifacts this cache exists for
+  private val m = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Any, AnyRef](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, AnyRef]): Boolean =
+        size() > MaxEntries
+    })
 
-  /** memoize `build` under `key` (clears the whole map rather than
-    * growing unboundedly — a miss only re-pays one compile). */
-  def memo[A <: AnyRef](key: Any)(build: => A): A = {
-    if (m.size > MaxEntries) m.clear()
+  /** memoize `build` under `key` (bounded LRU — an evicted entry only
+    * re-pays one compile).
+    *
+    * The cache is process-wide while keys carry no session identity:
+    * artifacts built under one session's SQLConf are served to every
+    * session in the JVM. That is sound for the contract trees cached
+    * here (string/struct logic whose folding is conf-independent; all
+    * engine sessions additionally pin UTC), but a future caller
+    * caching conf-SENSITIVE folds (timestamp casts under varying
+    * timezones, ANSI-dependent arithmetic) must add the relevant conf
+    * to its key. */
+  def memo[A <: AnyRef](key: Any)(build: => A): A =
     m.computeIfAbsent(key, _ => build).asInstanceOf[A]
-  }
 
   /** tests/diagnostics. */
   def size: Int = m.size

@@ -172,7 +172,10 @@ class IvfScorer(cents: Array[Array[Double]], nProbe: Int,
     * visit order and the pruned path could diverge from the flat
     * scan's canonical cid-order insertion. Rows where
     * maxAbsQ · maxAbsCent could overflow any partial term fall back
-    * to the flat scan (which IS the canonical behavior). */
+    * to the flat scan (which IS the canonical behavior). NaN centroid
+    * elements cannot reach this gate: the block build below refuses
+    * any non-finite centroid element, so the pruned path — the only
+    * consumer — always sees a finite maxAbsCent. */
   private val maxAbsCent: Double = {
     var m = 0.0
     var i = 0

@@ -95,14 +95,24 @@ object Decontaminate {
         .select(col("id").as("eval_id"), explode(col("grams")).as("g"))
         .distinct())
     // sizing: the cached (eval_id, g) pair count is an upper bound on
-    // the distinct gram count — an over-sized filter only LOWERS the
-    // false-positive rate (output unchanged either way: the exact join
-    // removes false positives), and the bound skips the round-5
-    // distinct-by-g exchange the exact count paid just to size a
-    // filter (the count job doubles as the cache materialization).
-    val expected =
+    // the distinct gram count — in the unclamped regime an over-sized
+    // filter only LOWERS the false-positive rate (output unchanged
+    // either way: the exact join removes false positives), and the
+    // bound skips the round-5 distinct-by-g exchange the exact count
+    // paid just to size a filter (the count job doubles as the cache
+    // materialization). PAST the clamp regime the argument inverts:
+    // BloomFilterAggregate caps numBits at its conf maximum (default
+    // 67,108,864 bits ≈ 4M items near 1% fpp) while the inflated item
+    // estimate still drives the hash-function count, so a large upper
+    // bound would DEGRADE the filter — there, pay the exact
+    // distinct-gram count (tiny eval corpora, the common case, never
+    // take that extra exchange).
+    val expected0 =
       if (expectedGrams > 0) expectedGrams
       else math.max(eg.count(), 1L)
+    val expected =
+      if (expectedGrams > 0 || expected0 <= 4000000L) expected0
+      else math.max(eg.select("g").distinct().count(), 1L)
     val numBits = math.max(BloomFilter.optimalNumOfBits(expected, fpp), 64L)
     val bfAgg = asCol(new BloomFilterAggregate(
       asExpr(col("g")), asExpr(lit(expected)),

@@ -358,11 +358,15 @@ object Dedup {
     * a checkpoint job and a convergence probe, which on a small edge
     * list is pure fixed cost (measured ~1.1 s of the 1.2 s
     * dedup_components query at sf0.1); the size gate is the same
-    * adaptive-threshold idea as a broadcast join — the driver holds at
-    * most `localCcMaxEdges` edges (~tens of MB), and anything larger
-    * takes the unchanged O(log n)-round scale path. Forced-path parity
-    * is pinned in SamplingCcSpec. */
-  private[graft] val localCcMaxEdges = 2000000L
+    * adaptive-threshold idea as a broadcast join, and anything larger
+    * takes the unchanged O(log n)-round scale path. Sizing: a
+    * collected (long, long) edge Row plus the boxed index/min maps
+    * costs ~150-250 bytes of driver heap per edge, so 500k edges is
+    * ~100 MB — safe on a default driver; hosts with big drivers can
+    * raise it via GRAFT_CC_LOCAL_MAX_EDGES. Forced-path parity is
+    * pinned in SamplingCcSpec. */
+  private[graft] val localCcMaxEdges: Long =
+    sys.env.getOrElse("GRAFT_CC_LOCAL_MAX_EDGES", "500000").toLong
 
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",

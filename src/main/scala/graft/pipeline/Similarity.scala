@@ -522,7 +522,7 @@ object Similarity {
   def ivfTopKWithCentroids(df: DataFrame, idCol: String, vecCol: String,
                            cents: Array[Array[Double]], k: Int,
                            nProbe: Int): DataFrame = {
-    val n = df.count()
+    val n = vecSideCount(df)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
     // top-nProbe (score, centroid) per row, (s desc, c desc) — computed
@@ -681,11 +681,23 @@ object Similarity {
     * executor. Catalyst's 10 MB estimate threshold stops broadcasting
     * near ~40k vectors, far below what a 48 GB local driver (or any
     * production executor) holds comfortably. Gated on the actual row
-    * count (a parquet-metadata-cheap job), parameterised for
-    * production: above the cap the joins stay shuffled — the correct
-    * 10⁹-vector shape. ~1M rows ≈ 300 MB broadcast at dim=64 floats. */
+    * count (a parquet-metadata-cheap job for file-scan inputs — NOTE
+    * this makes query CONSTRUCTION run one Spark job; callers
+    * composing over expensive derived frames, or plan-only tooling,
+    * can set GRAFT_BROADCAST_VEC_MAX_ROWS=0 to disable the gate,
+    * which also skips the count entirely); above the cap the joins
+    * stay shuffled — the correct 10⁹-vector shape. Sizing: vectors
+    * may be array<double>, so 500k rows at dim=64 is ≈ 270 MB of
+    * broadcast data (roughly 2× that as the built hash relation) —
+    * within an ordinary executor; raise the cap only with the memory
+    * to match. */
   private val broadcastVecMaxRows: Long =
-    sys.env.getOrElse("GRAFT_BROADCAST_VEC_MAX_ROWS", "1000000").toLong
+    sys.env.getOrElse("GRAFT_BROADCAST_VEC_MAX_ROWS", "500000").toLong
+
+  /** row count for the gate, or MaxValue (= never broadcast, and no
+    * count job) when the gate is disabled. */
+  private def vecSideCount(df: DataFrame): Long =
+    if (broadcastVecMaxRows <= 0) Long.MaxValue else df.count()
 
   private def hintVecSide(v: DataFrame, nRows: Long): DataFrame =
     if (nRows <= broadcastVecMaxRows) broadcast(v) else v
@@ -693,7 +705,7 @@ object Similarity {
   /** [[lshTopK]] from pre-staged bucket assignments (id, t, b). */
   def lshTopKFromBuckets(df: DataFrame, idCol: String, vecCol: String,
                          bucketed: DataFrame, k: Int): DataFrame = {
-    val n = df.count()
+    val n = vecSideCount(df)
     val v = hintVecSide(df.select(col(idCol).as("id"),
       col(vecCol).as("vec"), norm(col(vecCol)).as("nrm")), n)
     // candidate pairs are deduped NARROW (ids only) before vectors are
@@ -735,7 +747,7 @@ object Similarity {
   def cosinePairsLshFromBuckets(df: DataFrame, idCol: String,
                                 vecCol: String, bucketed: DataFrame,
                                 threshold: Double): DataFrame = {
-    val n = df.count()
+    val n = vecSideCount(df)
     val v = hintVecSide(df.select(col(idCol).as("id"),
       col(vecCol).as("vec"), norm(col(vecCol)).as("nrm")), n)
     val cand = bucketed.as("x").join(bucketed.as("y"),
